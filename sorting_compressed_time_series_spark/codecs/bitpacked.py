@@ -1,0 +1,302 @@
+"""Bit-packed codecs: delta-of-delta (timestamps) and Gorilla XOR (values).
+
+Re-expresses the reference's two bit-packed codecs (SURVEY.md §2.1 #7-#10):
+
+- ``DeltaDeltaLongEncoder`` (TSEncoding DELTA_OF_DELTA, reference
+  db/iotdb-core/tsfile/.../encoder/DeltaDeltaLongEncoder.java:117-174):
+  Gorilla-paper timestamp compression — store the second difference in a
+  small number of bits chosen by magnitude class.
+- ``LongGorillaEncoder`` / ``DoublePrecisionEncoderV2`` (TSEncoding GORILLA,
+  reference .../encoder/LongGorillaEncoder.java:105-150): XOR with the
+  previous value, store only the meaningful (non-zero window) bits.
+
+Format redesign (clean-room, deliberately different from the reference):
+the reference interleaves prefix codes with payloads in one bitstream, which
+forces *sequential* decode.  We separate three planes —
+
+    [fixed-width tag plane] [fixed-width window/param plane] [payload plane]
+
+so decode is: unpack tags (vectorized) → derive every element's payload
+width (vectorized) → prefix-sum offsets → gather payload bits (vectorized).
+This is the same control/payload-plane split the reference's byte-aligned
+``TS_DELTA_data.lens`` array uses, generalized to bit granularity.  It keeps
+the compression ratio of delta-of-delta / Gorilla while making both encode
+and decode whole-array numpy kernels.
+
+Delta-of-delta layout (little header, then planes):
+    u32 count | i64 first | tag plane: 3 bits/elem for elems 1..n-1 |
+    payload plane: zigzag(dod) bits per class
+    classes: 0→0 bits (dod==0), 1→7, 2→9, 3→12, 4→32, 5→64
+    (class thresholds follow DeltaDeltaLongEncoder.java:117-156.)
+
+Gorilla layout:
+    u32 count | u32 n_windows | u64 first |
+    tag plane: 2 bits/elem for elems 1..n-1 (0: xor==0, 1: reuse window,
+    2: new window) | window plane: 12 bits per new-window elem
+    (6b leading-zero count, 6b meaningful-length-1) | payload plane:
+    meaningful bits per non-zero elem.
+
+Bit order is MSB-first within the stream, matching the reference's packing
+convention (DeltaDeltaLongEncoder quirks list, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bytealigned import unzigzag, zigzag
+
+_U64 = np.uint64
+
+# ---------------------------------------------------------------------------
+# bit plane helpers (shared by both codecs)
+# ---------------------------------------------------------------------------
+
+
+def pack_bits(values: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Concatenate ``widths[i]`` MSB-first bits of ``values[i]`` into bytes.
+
+    Whole-array: expands to a 0/1 bit vector with repeat/cumsum indexing and
+    packs with ``np.packbits`` — no per-element Python.
+    """
+    values = values.astype(np.uint64, copy=False)
+    widths = widths.astype(np.int64, copy=False)
+    total = int(widths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    nz = widths > 0
+    v = values[nz]
+    w = widths[nz]
+    ends = np.cumsum(w)
+    starts = ends - w
+    eid = np.repeat(np.arange(len(w)), w)
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
+    shift = (np.repeat(w, w) - 1 - local).astype(np.uint64)
+    bits = ((v[eid] >> shift) & _U64(1)).astype(np.uint8)
+    return np.packbits(bits)
+
+
+def unpack_bits(buf: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Inverse of `pack_bits`: gather each element's bits back to uint64."""
+    widths = widths.astype(np.int64, copy=False)
+    total = int(widths.sum())
+    out = np.zeros(len(widths), dtype=np.uint64)
+    if total == 0:
+        return out
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=total).astype(np.uint64)
+    nz = widths > 0
+    w = widths[nz]
+    ends = np.cumsum(w)
+    starts = ends - w
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
+    shift = (np.repeat(w, w) - 1 - local).astype(np.uint64)
+    weighted = bits << shift
+    # segment-sum per element (reduceat needs non-empty segments: we filtered)
+    out_nz = np.add.reduceat(weighted, starts)
+    out[nz] = out_nz
+    return out
+
+
+def _fixed_unpack(buf: np.ndarray, width: int, count: int) -> np.ndarray:
+    """Unpack ``count`` fixed-``width``-bit MSB-first codes."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=width * count)
+    bits = bits.reshape(count, width).astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# delta-of-delta
+# ---------------------------------------------------------------------------
+
+# class -> payload width in bits
+_DOD_WIDTH = np.array([0, 7, 9, 12, 32, 64], dtype=np.int64)
+
+
+def _dod_classify(zz: np.ndarray) -> np.ndarray:
+    codes = np.full(zz.shape, 5, dtype=np.uint8)
+    codes[zz < _U64(1) << _U64(32)] = 4
+    codes[zz < _U64(1) << _U64(12)] = 3
+    codes[zz < _U64(1) << _U64(9)] = 2
+    codes[zz < _U64(1) << _U64(7)] = 1
+    codes[zz == _U64(0)] = 0
+    return codes
+
+
+def dod_encode(values: np.ndarray) -> bytes:
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    header = np.array([n], dtype="<u4").tobytes()
+    if n == 0:
+        return header
+    first = v[0:1].astype("<i8").tobytes()
+    if n == 1:
+        return header + first
+    delta = np.diff(v)
+    dod = np.empty(n - 1, dtype=np.int64)
+    dod[0] = delta[0]  # previous delta is defined as 0, as in the reference
+    np.subtract(delta[1:], delta[:-1], out=dod[1:])
+    zz = zigzag(dod)
+    codes = _dod_classify(zz)
+    tag_plane = pack_bits(codes.astype(np.uint64), np.full(n - 1, 3, dtype=np.int64))
+    payload = pack_bits(zz, _DOD_WIDTH[codes])
+    return header + first + tag_plane.tobytes() + payload.tobytes()
+
+
+def dod_decode(blob: bytes | np.ndarray) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[:4].view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    first = int(buf[4:12].view("<i8")[0])
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    tag_bytes = (3 * (n - 1) + 7) // 8
+    tags = _fixed_unpack(buf[12 : 12 + tag_bytes], 3, n - 1).astype(np.int64)
+    widths = _DOD_WIDTH[tags]
+    zz = unpack_bits(buf[12 + tag_bytes :], widths)
+    dod = unzigzag(zz)
+    delta = np.cumsum(dod)  # prev-delta chain starts at 0
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    np.cumsum(delta, out=out[1:])
+    out[1:] += first
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gorilla XOR
+# ---------------------------------------------------------------------------
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (x > 0)."""
+    # float64 mantissa trick is unsafe for >53 bits; do it in two 32-bit halves
+    hi = (x >> _U64(32)).astype(np.uint32)
+    lo = (x & _U64(0xFFFFFFFF)).astype(np.uint32)
+    use_hi = hi != 0
+    h = np.where(use_hi, hi, lo).astype(np.int64)
+    # bit_length via log2 on int64<2^32 is exact: values fit in float64 exactly
+    bl = np.zeros(len(x), dtype=np.int64)
+    nzm = h > 0
+    bl[nzm] = np.floor(np.log2(h[nzm])).astype(np.int64) + 1
+    lead32 = 32 - bl
+    return np.where(use_hi, lead32, 32 + lead32).astype(np.int64)
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (x > 0)."""
+    lowbit = (x & (~x + _U64(1))).astype(np.uint64)
+    return 63 - _clz64(lowbit)
+
+
+def gorilla_encode_longs(bit_patterns: np.ndarray) -> bytes:
+    """Gorilla-XOR encode a uint64 bit-pattern array (works for int64 values
+    and for float64 via ``.view(np.uint64)``).
+
+    Window policy (vectorized, decoder-agnostic): an element reuses the
+    running window iff its own (lead, trail) fit inside the *previous
+    non-zero element's own* window — a conservative one-pass test that
+    guarantees containment in the running window by induction, so the whole
+    decision is a single vectorized comparison instead of the reference's
+    sequential loop (LongGorillaEncoder.java:105-150).
+    """
+    x = np.ascontiguousarray(bit_patterns, dtype=np.uint64)
+    n = len(x)
+    head = np.array([n, 0], dtype="<u4")
+    if n == 0:
+        return head.tobytes()
+    if n == 1:
+        return head.tobytes() + x[0:1].astype("<u8").tobytes()
+    xor = x[1:] ^ x[:-1]
+    nz = xor != 0
+    lead = np.zeros(n - 1, dtype=np.int64)
+    trail = np.zeros(n - 1, dtype=np.int64)
+    lead[nz] = np.minimum(_clz64(xor[nz]), 63)
+    trail[nz] = _ctz64(xor[nz])
+    mlen = np.where(nz, 64 - lead - trail, 0)
+
+    # previous non-zero element's (lead, trail), aligned to each element
+    nz_idx = np.flatnonzero(nz)
+    tags = np.zeros(n - 1, dtype=np.uint64)  # 0 = xor==0
+    if len(nz_idx):
+        pl = lead[nz_idx]
+        pt = trail[nz_idx]
+        reuse = np.zeros(len(nz_idx), dtype=bool)
+        if len(nz_idx) > 1:
+            reuse[1:] = (pl[1:] >= pl[:-1]) & (pt[1:] >= pt[:-1])
+        tags[nz_idx[reuse]] = 1
+        tags[nz_idx[~reuse]] = 2
+    # effective window for every element = forward-fill from new-window elems
+    is_new = tags == 2
+    eff_lead = lead.copy()
+    eff_trail = trail.copy()
+    if is_new.any():
+        idx = np.where(is_new, np.arange(n - 1), -1)
+        np.maximum.accumulate(idx, out=idx)
+        filled = idx >= 0
+        eff_lead[filled] = lead[idx[filled]]
+        eff_trail[filled] = trail[idx[filled]]
+    eff_mlen = 64 - eff_lead - eff_trail
+
+    tag_plane = pack_bits(tags, np.full(n - 1, 2, dtype=np.int64))
+    win_vals = ((lead[is_new].astype(np.uint64) << _U64(6))
+                | (mlen[is_new] - 1).astype(np.uint64))
+    win_plane = pack_bits(win_vals, np.full(int(is_new.sum()), 12, dtype=np.int64))
+    pay_widths = np.where(tags == 0, 0, eff_mlen)
+    payload_vals = (xor >> eff_trail.astype(np.uint64))
+    payload = pack_bits(payload_vals, pay_widths)
+    head[1] = int(is_new.sum())
+    return (head.tobytes() + x[0:1].astype("<u8").tobytes()
+            + tag_plane.tobytes() + win_plane.tobytes() + payload.tobytes())
+
+
+def gorilla_decode_longs(blob: bytes | np.ndarray) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[:4].view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_win = int(buf[4:8].view("<u4")[0])
+    first = buf[8:16].view("<u8")[0]
+    if n == 1:
+        return np.array([first], dtype=np.uint64)
+    pos = 16
+    tag_bytes = (2 * (n - 1) + 7) // 8
+    tags = _fixed_unpack(buf[pos : pos + tag_bytes], 2, n - 1).astype(np.int64)
+    pos += tag_bytes
+    win_bytes = (12 * n_win + 7) // 8
+    wins = _fixed_unpack(buf[pos : pos + win_bytes], 12, n_win)
+    pos += win_bytes
+    lead_new = (wins >> _U64(6)).astype(np.int64)
+    mlen_new = (wins & _U64(0x3F)).astype(np.int64) + 1
+    is_new = tags == 2
+    eff_lead = np.zeros(n - 1, dtype=np.int64)
+    eff_mlen = np.zeros(n - 1, dtype=np.int64)
+    eff_lead[is_new] = lead_new
+    eff_mlen[is_new] = mlen_new
+    idx = np.where(is_new, np.arange(n - 1), -1)
+    np.maximum.accumulate(idx, out=idx)
+    filled = idx >= 0
+    eff_lead[filled] = eff_lead[idx[filled]]
+    eff_mlen[filled] = eff_mlen[idx[filled]]
+    widths = np.where(tags == 0, 0, eff_mlen)
+    payload = unpack_bits(buf[pos:], widths)
+    shift = (64 - eff_lead - eff_mlen).astype(np.uint64)
+    xor = np.where(tags == 0, _U64(0), payload << shift)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    # xor-scan: cumulative bitwise xor has no ufunc.accumulate fast path for
+    # arbitrary dtypes pre-numpy2; use bitwise_xor.accumulate (supported).
+    np.bitwise_xor.accumulate(xor, out=xor)
+    out[1:] = first ^ xor
+    return out
+
+
+def gorilla_encode_doubles(values: np.ndarray) -> bytes:
+    return gorilla_encode_longs(np.ascontiguousarray(values, dtype=np.float64).view(np.uint64))
+
+
+def gorilla_decode_doubles(blob: bytes | np.ndarray) -> np.ndarray:
+    return gorilla_decode_longs(blob).view(np.float64)
