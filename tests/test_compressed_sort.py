@@ -1,0 +1,128 @@
+"""Compressed-domain sort oracles.
+
+Re-expresses the reference's sorter correctness tests
+(MemtableSortTest.testSortCorrect — decode(sort(encode(x))) equals a stable
+sort of the (ts, value) pairs by ts; CompressedSeriesTest fixed/random/file
+variants). Additionally asserts the rotation path produces byte-identical
+blobs to a fresh encode of the sorted arrays — a stronger invariant our
+deterministic encoder makes possible.
+"""
+
+import numpy as np
+import pytest
+
+from sorting_compressed_time_series_spark.codecs.bytealigned import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from sorting_compressed_time_series_spark.operators.compressed_sort import (
+    compressed_sort,
+    sort_reencode,
+    stable_sort_order,
+)
+
+
+def _oracle(ts, vs):
+    order = np.argsort(ts, kind="stable")
+    return ts[order], vs[order]
+
+
+def _run(ts, vs):
+    ts = np.asarray(ts, dtype=np.int64)
+    vs = np.asarray(vs, dtype=np.int64)
+    td, vd, lineage = compressed_sort(delta_encode(ts), varint_encode(vs))
+    got_ts = delta_decode(td)
+    got_vs = varint_decode(vd)
+    want_ts, want_vs = _oracle(ts, vs)
+    assert np.array_equal(got_ts, want_ts)
+    assert np.array_equal(got_vs, want_vs)
+    # byte-identity with canonical encode of the sorted arrays
+    canon_t = delta_encode(want_ts)
+    canon_v = varint_encode(want_vs)
+    assert td.vals.tobytes() == canon_t.vals.tobytes()
+    assert np.array_equal(td.codes, canon_t.codes)
+    assert vd.vals.tobytes() == canon_v.vals.tobytes()
+    assert np.array_equal(vd.codes, canon_v.codes)
+    return lineage
+
+
+def test_already_sorted_noop():
+    ts = np.arange(100, dtype=np.int64) * 17
+    vs = np.arange(100, dtype=np.int64)
+    lineage = _run(ts, vs)
+    assert lineage["path"] == "noop"
+
+
+def test_single_displaced_point():
+    ts = np.arange(50, dtype=np.int64) * 10
+    ts[30] = 151  # belongs between idx 15 and 16
+    vs = np.arange(50, dtype=np.int64)
+    lineage = _run(ts, vs)
+    assert lineage["path"] == "rotate"
+    assert lineage["rotations"] == 1
+
+
+def test_ooo_run():
+    # a sorted run displaced backwards — the reference's core regime
+    ts = np.arange(200, dtype=np.int64) * 10
+    ts[100:105] -= 500
+    vs = np.arange(200, dtype=np.int64) * 3
+    lineage = _run(ts, vs)
+    assert lineage["path"] == "rotate"
+
+
+def test_duplicate_timestamps_stability():
+    ts = np.array([10, 20, 20, 30, 15, 15, 40], dtype=np.int64)
+    vs = np.array([1, 2, 3, 4, 5, 6, 7], dtype=np.int64)
+    _run(ts, vs)
+
+
+@pytest.mark.parametrize("p", [0.001, 0.004, 0.02])
+def test_nearly_sorted_sweep(p):
+    rng = np.random.default_rng(int(p * 10000))
+    n = 20_000
+    ts = np.cumsum(rng.integers(1, 3000, size=n)).astype(np.int64)
+    k = max(1, int(n * p))
+    idx = rng.integers(1, n, size=k)
+    ts[idx] -= rng.integers(1, 100_000, size=k)
+    vs = rng.integers(-(10**4), 10**4, size=n).astype(np.int64)
+    _run(ts, vs)
+
+
+def test_heavily_shuffled_falls_back():
+    rng = np.random.default_rng(99)
+    ts = rng.integers(-(10**4), 10**4, size=5000).astype(np.int64)
+    vs = rng.integers(-(10**4), 10**4, size=5000).astype(np.int64)
+    lineage = _run(ts, vs)
+    assert lineage["path"] == "reencode"
+
+
+def test_max_tail_precondition_regime():
+    # MemtableSortTest forces the final element to max+3000 (:36-37); the
+    # sorter must handle that shape and everything else
+    rng = np.random.default_rng(5)
+    ts = np.cumsum(rng.integers(1, 100, size=1000)).astype(np.int64)
+    ts[500:520] -= 3000
+    ts[-1] = ts.max() + 3000
+    vs = rng.integers(-(10**4), 10**4, size=1000).astype(np.int64)
+    _run(ts, vs)
+
+
+def test_sort_reencode_matches_rotation_output():
+    rng = np.random.default_rng(21)
+    ts = np.cumsum(rng.integers(1, 50, size=3000)).astype(np.int64)
+    idx = rng.integers(1, 3000, size=20)
+    ts[idx] -= rng.integers(1, 5000, size=20)
+    vs = rng.integers(-(10**6), 10**6, size=3000).astype(np.int64)
+    td1, vd1, _ = compressed_sort(delta_encode(ts), varint_encode(vs))
+    td2, vd2, _ = sort_reencode(delta_encode(ts), varint_encode(vs))
+    assert td1.vals.tobytes() == td2.vals.tobytes()
+    assert vd1.vals.tobytes() == vd2.vals.tobytes()
+
+
+def test_stable_sort_order_is_stable():
+    ts = np.array([5, 1, 5, 1, 5], dtype=np.int64)
+    order = stable_sort_order(ts)
+    assert list(order) == [1, 3, 0, 2, 4]
