@@ -1,0 +1,192 @@
+"""Multi-series batched codec kernels: encode/decode a whole Arrow batch of
+series in one set of numpy operations.
+
+The reference encodes one series at a time (a Java loop per point,
+CompressedTVList.java:108-124 — "simplified implementation" per its own
+comment).  At 10^12-sequence scale, per-series Python dispatch is the enemy:
+an Arrow batch of N token arrays arrives as ONE flat value buffer plus row
+splits, so we encode ALL series in the batch together — flat deltas with
+row-boundary fixups, flat zigzag/classify/payload-emission, per-row-aligned
+2-bit length-plane packing, and a single gather that assembles every row's
+blob into one output buffer.  The only per-row Python anywhere is Arrow's
+own offset bookkeeping.
+
+Blob layout per row matches ``codecs.chunk`` (magic 'SC' | ver | codec |
+u32 count | lens | vals) so scalar and batched kernels interoperate —
+`decode_chunk` can read any blob produced here, and vice versa.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bytealigned import CLASS_WIDTH, _classify, unzigzag, zigzag
+from .chunk import CODEC_DELTA, CODEC_VARINT, MAGIC, VERSION
+
+_HDR = 8  # magic(2) + version(1) + codec(1) + count(u32)
+
+
+def _block_copy(
+    out: np.ndarray,
+    dest_starts: np.ndarray,
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lengths: np.ndarray,
+) -> None:
+    """Vectorized multi-block memcpy: out[dest+i] = src[src+i] for each block."""
+    total = int(lengths.sum())
+    if total == 0:
+        return
+    ends = np.cumsum(lengths)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(ends - lengths, lengths)
+    out[np.repeat(dest_starts, lengths) + intra] = src[np.repeat(src_starts, lengths) + intra]
+
+
+def encode_rows(
+    flat_values: np.ndarray, row_splits: np.ndarray, codec: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode many series at once.
+
+    Parameters: ``flat_values`` int64 (all rows concatenated), ``row_splits``
+    int64[n_rows+1] (Arrow list offsets). ``codec`` CODEC_DELTA or
+    CODEC_VARINT. Returns (blob_buffer uint8, blob_splits int64[n_rows+1])
+    ready to wrap as an Arrow binary array with zero copies.
+    """
+    flat = np.ascontiguousarray(flat_values, dtype=np.int64)
+    splits = np.ascontiguousarray(row_splits, dtype=np.int64)
+    n_rows = len(splits) - 1
+    counts = np.diff(splits)
+    row_starts = splits[:-1]
+    nz_starts = row_starts[counts > 0]
+
+    if codec == CODEC_DELTA:
+        d = flat.copy()
+        d[1:] -= flat[:-1]
+        zz = zigzag(d)
+        # first element of every row is the raw value, class 0
+        zz[nz_starts] = flat[nz_starts].view(np.uint64)
+        codes = _classify(zz)
+        codes[nz_starts] = 0
+    elif codec == CODEC_VARINT:
+        zz = zigzag(flat)
+        codes = _classify(zz)
+    else:
+        raise ValueError(f"batched encode supports DELTA/VARINT, got {codec}")
+
+    widths = CLASS_WIDTH[codes]
+    pay_off = np.empty(len(widths) + 1, dtype=np.int64)
+    pay_off[0] = 0
+    np.cumsum(widths, out=pay_off[1:])
+    payload = np.zeros(int(pay_off[-1]), dtype=np.uint8)
+    for b in range(8):
+        m = widths > b
+        if not m.any():
+            break
+        payload[pay_off[:-1][m] + b] = ((zz[m] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+
+    # per-row-aligned 2-bit length plane: pad each row's codes to 4 elements
+    padded_counts = (counts + 3) // 4 * 4
+    padded_splits = np.empty(n_rows + 1, dtype=np.int64)
+    padded_splits[0] = 0
+    np.cumsum(padded_counts, out=padded_splits[1:])
+    flat_padded = np.zeros(int(padded_splits[-1]), dtype=np.uint8)
+    if len(flat):
+        dest = np.arange(len(flat), dtype=np.int64) + np.repeat(
+            padded_splits[:-1] - row_starts, counts
+        )
+        flat_padded[dest] = codes
+    q = flat_padded.reshape(-1, 4)
+    packed = (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).astype(np.uint8)
+
+    lens_len = padded_counts // 4
+    pay_row_len = pay_off[splits[1:]] - pay_off[splits[:-1]]
+    blob_len = _HDR + lens_len + pay_row_len
+    blob_splits = np.empty(n_rows + 1, dtype=np.int64)
+    blob_splits[0] = 0
+    np.cumsum(blob_len, out=blob_splits[1:])
+    out = np.empty(int(blob_splits[-1]), dtype=np.uint8)
+    starts = blob_splits[:-1]
+    # headers (8 fixed strided writes)
+    out[starts + 0] = MAGIC[0]
+    out[starts + 1] = MAGIC[1]
+    out[starts + 2] = VERSION
+    out[starts + 3] = codec
+    c32 = counts.astype("<u4").view(np.uint8).reshape(-1, 4)
+    for b in range(4):
+        out[starts + 4 + b] = c32[:, b]
+    # length plane + payload plane block copies
+    _block_copy(out, starts + _HDR, packed, padded_splits[:-1] // 4, lens_len)
+    _block_copy(out, starts + _HDR + lens_len, payload, pay_off[row_starts], pay_row_len)
+    return out, blob_splits
+
+
+def decode_rows(
+    blob_buffer: np.ndarray, blob_splits: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode many blobs (all the same codec) back to (flat_values, row_splits)."""
+    buf = np.ascontiguousarray(blob_buffer, dtype=np.uint8)
+    bs = np.ascontiguousarray(blob_splits, dtype=np.int64)
+    n_rows = len(bs) - 1
+    starts = bs[:-1]
+    if n_rows == 0:
+        return np.empty(0, np.int64), np.zeros(1, np.int64)
+    codec = int(buf[starts[0] + 3])
+    counts = np.zeros(n_rows, dtype=np.int64)
+    for b in range(4):
+        counts |= buf[starts + 4 + b].astype(np.int64) << (8 * b)
+    splits = np.empty(n_rows + 1, dtype=np.int64)
+    splits[0] = 0
+    np.cumsum(counts, out=splits[1:])
+    row_starts = splits[:-1]
+    total = int(splits[-1])
+
+    # gather the per-row length planes into one padded buffer, then unpack
+    lens_len = (counts + 3) // 4
+    padded_splits = np.empty(n_rows + 1, dtype=np.int64)
+    padded_splits[0] = 0
+    np.cumsum(lens_len, out=padded_splits[1:])
+    packed = np.empty(int(padded_splits[-1]), dtype=np.uint8)
+    _block_copy(packed, padded_splits[:-1], buf, starts + _HDR, lens_len)
+    unpacked = np.empty(len(packed) * 4, dtype=np.uint8)
+    unpacked[0::4] = packed & 3
+    unpacked[1::4] = (packed >> 2) & 3
+    unpacked[2::4] = (packed >> 4) & 3
+    unpacked[3::4] = (packed >> 6) & 3
+    codes = np.empty(total, dtype=np.uint8)
+    if total:
+        src = np.arange(total, dtype=np.int64) + np.repeat(
+            padded_splits[:-1] * 4 - row_starts, counts
+        )
+        codes = unpacked[src]
+
+    widths = CLASS_WIDTH[codes]
+    pay_off = np.empty(total + 1, dtype=np.int64)
+    pay_off[0] = 0
+    np.cumsum(widths, out=pay_off[1:])
+    # gather payload planes contiguous
+    pay_row_len = pay_off[splits[1:]] - pay_off[splits[:-1]]
+    payload = np.empty(int(pay_off[-1]), dtype=np.uint8)
+    _block_copy(payload, pay_off[row_starts], buf, starts + _HDR + lens_len, pay_row_len)
+    zz = np.zeros(total, dtype=np.uint64)
+    for b in range(8):
+        m = widths > b
+        if not m.any():
+            break
+        zz[m] |= payload[pay_off[:-1][m] + b].astype(np.uint64) << np.uint64(8 * b)
+
+    if codec == CODEC_VARINT:
+        return unzigzag(zz), splits
+    if codec != CODEC_DELTA:
+        raise ValueError(f"batched decode supports DELTA/VARINT, got {codec}")
+    d = unzigzag(zz)
+    nz = counts > 0
+    firsts = np.zeros(n_rows, dtype=np.int64)
+    firsts[nz] = zz[row_starts[nz]].view(np.int64)  # raw first values
+    d[row_starts[nz]] = firsts[nz]
+    c = np.cumsum(d)
+    # segmented cumsum: subtract each row's predecessor total
+    base = np.repeat(c[row_starts[nz]] - firsts[nz], counts[nz])
+    vals = c
+    if total:
+        vals = c - base
+    return vals, splits

@@ -56,44 +56,114 @@ _U64 = np.uint64
 def pack_bits(values: np.ndarray, widths: np.ndarray) -> np.ndarray:
     """Concatenate ``widths[i]`` MSB-first bits of ``values[i]`` into bytes.
 
-    Whole-array: expands to a 0/1 bit vector with repeat/cumsum indexing and
-    packs with ``np.packbits`` — no per-element Python.
+    Word-lane algorithm: each element's code spans at most two 64-bit-aligned
+    big-endian lanes (width ≤ 64). Compute both lane contributions for every
+    element at once, then segment-OR contributions that share a lane with
+    ``np.bitwise_or.reduceat`` — a constant number of whole-array passes,
+    no per-bit expansion.
     """
-    values = values.astype(np.uint64, copy=False)
-    widths = widths.astype(np.int64, copy=False)
-    total = int(widths.sum())
+    v = values.astype(np.uint64, copy=False)
+    w = widths.astype(np.int64, copy=False)
+    total = int(w.sum())
     if total == 0:
         return np.empty(0, dtype=np.uint8)
-    nz = widths > 0
-    v = values[nz]
-    w = widths[nz]
+    if len(w) and w[0] in (1, 2, 4, 8, 16, 32, 64) and (w == w[0]).all():
+        return _pack_fixed_pow2(v, int(w[0]))
+    nz = w > 0
+    if not nz.all():
+        v = v[nz]
+        w = w[nz]
+    # mask stray high bits so OR-accumulation is safe
+    wu = w.astype(np.uint64)
+    full = wu == _U64(64)
+    mask = np.where(full, ~_U64(0), (_U64(1) << (wu & _U64(63))) - _U64(1))
+    v = v & mask
     ends = np.cumsum(w)
-    starts = ends - w
-    eid = np.repeat(np.arange(len(w)), w)
-    local = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
-    shift = (np.repeat(w, w) - 1 - local).astype(np.uint64)
-    bits = ((v[eid] >> shift) & _U64(1)).astype(np.uint8)
-    return np.packbits(bits)
+    offs = ends - w
+    lane0 = offs >> 6
+    s = (offs & 63).astype(np.int64)
+    r = s + w - 64  # >0 → element spills into lane0+1
+    spill = r > 0
+    sh0 = np.where(spill, r, 64 - s - w).astype(np.uint64)
+    c0 = np.where(spill, v >> sh0, v << sh0)
+    c1 = np.where(spill, v << ((_U64(64) - sh0) & _U64(63)), _U64(0))
+    n_lanes = (total + 63) // 64
+    lanes = np.zeros(n_lanes + 1, dtype=np.uint64)  # +1: spill lane of last elem
+
+    def _or_into(idx: np.ndarray, c: np.ndarray) -> None:
+        # idx is non-decreasing (offsets grow monotonically)
+        first = np.empty(len(idx), dtype=bool)
+        first[0] = True
+        np.not_equal(idx[1:], idx[:-1], out=first[1:])
+        seg_starts = np.flatnonzero(first)
+        lanes[idx[seg_starts]] |= np.bitwise_or.reduceat(c, seg_starts)
+
+    _or_into(lane0, c0)
+    _or_into(lane0 + 1, c1)
+    out = lanes[:n_lanes].byteswap().view(np.uint8)
+    return np.ascontiguousarray(out[: (total + 7) // 8])
+
+
+def _pack_fixed_pow2(v: np.ndarray, w: int) -> np.ndarray:
+    """Fixed power-of-two width: reshape so each output lane is one OR-reduce."""
+    per = 64 // w
+    n = len(v)
+    n_lanes = (n + per - 1) // per
+    if w < 64:
+        v = v & ((_U64(1) << _U64(w)) - _U64(1))
+    padded = np.zeros(n_lanes * per, dtype=np.uint64)
+    padded[:n] = v
+    cols = padded.reshape(n_lanes, per)
+    shifts = (64 - w * (np.arange(per, dtype=np.uint64) + _U64(1)))
+    lanes = np.bitwise_or.reduce(cols << shifts, axis=1)
+    out = lanes.byteswap().view(np.uint8)
+    return np.ascontiguousarray(out[: (n * w + 7) // 8])
+
+
+def _unpack_fixed_pow2(buf: np.ndarray, w: int, count: int) -> np.ndarray:
+    per = 64 // w
+    n_lanes = (count + per - 1) // per
+    padded = np.zeros(n_lanes * 8, dtype=np.uint8)
+    raw = np.frombuffer(buf, dtype=np.uint8)[: (count * w + 7) // 8]
+    padded[: len(raw)] = raw
+    lanes = padded.view(np.uint64).byteswap()
+    shifts = (64 - w * (np.arange(per, dtype=np.uint64) + _U64(1)))
+    mask = ~_U64(0) if w == 64 else (_U64(1) << _U64(w)) - _U64(1)
+    vals = (lanes[:, None] >> shifts) & mask
+    return vals.reshape(-1)[:count]
 
 
 def unpack_bits(buf: np.ndarray, widths: np.ndarray) -> np.ndarray:
     """Inverse of `pack_bits`: gather each element's bits back to uint64."""
-    widths = widths.astype(np.int64, copy=False)
-    total = int(widths.sum())
-    out = np.zeros(len(widths), dtype=np.uint64)
+    w_all = widths.astype(np.int64, copy=False)
+    if len(w_all) and w_all[0] in (1, 2, 4, 8, 16, 32, 64) and (w_all == w_all[0]).all():
+        return _unpack_fixed_pow2(buf, int(w_all[0]), len(w_all))
+    total = int(w_all.sum())
+    out = np.zeros(len(w_all), dtype=np.uint64)
     if total == 0:
         return out
-    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=total).astype(np.uint64)
-    nz = widths > 0
-    w = widths[nz]
+    raw = np.frombuffer(buf, dtype=np.uint8)[: (total + 7) // 8]
+    n_lanes = (total + 63) // 64
+    padded = np.zeros((n_lanes + 1) * 8, dtype=np.uint8)
+    padded[: len(raw)] = raw
+    lanes = padded.view(np.uint64).byteswap()
+    nz = w_all > 0
+    w = w_all[nz]
     ends = np.cumsum(w)
-    starts = ends - w
-    local = np.arange(total, dtype=np.int64) - np.repeat(starts, w)
-    shift = (np.repeat(w, w) - 1 - local).astype(np.uint64)
-    weighted = bits << shift
-    # segment-sum per element (reduceat needs non-empty segments: we filtered)
-    out_nz = np.add.reduceat(weighted, starts)
-    out[nz] = out_nz
+    offs = ends - w
+    lane0 = offs >> 6
+    s = (offs & 63).astype(np.int64)
+    r = s + w - 64
+    spill = r > 0
+    wu = w.astype(np.uint64)
+    full = wu == _U64(64)
+    mask = np.where(full, ~_U64(0), (_U64(1) << (wu & _U64(63))) - _U64(1))
+    sh = np.where(spill, r, 64 - s - w).astype(np.uint64)
+    w0 = lanes[lane0]
+    w1 = lanes[lane0 + 1]
+    lo = np.where(spill, w0 << sh, w0 >> sh)
+    hi = np.where(spill, w1 >> ((_U64(64) - sh) & _U64(63)), _U64(0))
+    out[nz] = (lo | hi) & mask
     return out
 
 
@@ -101,10 +171,7 @@ def _fixed_unpack(buf: np.ndarray, width: int, count: int) -> np.ndarray:
     """Unpack ``count`` fixed-``width``-bit MSB-first codes."""
     if count == 0:
         return np.empty(0, dtype=np.uint64)
-    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=width * count)
-    bits = bits.reshape(count, width).astype(np.uint64)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+    return unpack_bits(buf, np.full(count, width, dtype=np.int64))
 
 
 # ---------------------------------------------------------------------------
@@ -172,18 +239,18 @@ def dod_decode(blob: bytes | np.ndarray) -> np.ndarray:
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros for uint64 (x > 0)."""
-    # float64 mantissa trick is unsafe for >53 bits; do it in two 32-bit halves
-    hi = (x >> _U64(32)).astype(np.uint32)
-    lo = (x & _U64(0xFFFFFFFF)).astype(np.uint32)
-    use_hi = hi != 0
-    h = np.where(use_hi, hi, lo).astype(np.int64)
-    # bit_length via log2 on int64<2^32 is exact: values fit in float64 exactly
-    bl = np.zeros(len(x), dtype=np.int64)
-    nzm = h > 0
-    bl[nzm] = np.floor(np.log2(h[nzm])).astype(np.int64) + 1
-    lead32 = 32 - bl
-    return np.where(use_hi, lead32, 32 + lead32).astype(np.int64)
+    """Vectorized count-leading-zeros for uint64 (x > 0).
+
+    float64 exponent-field trick: the cast rounds, so the exponent is
+    floor(log2(x)) or floor(log2(x))+1; one shift-compare fixes the
+    rounded-up-across-a-power-of-two case exactly.
+    """
+    f = x.astype(np.float64)
+    e = ((f.view(np.uint64) >> _U64(52)) & _U64(0x7FF)).astype(np.int64) - 1023
+    e_c = np.minimum(e, 63).astype(np.uint64)
+    too_big = (x >> e_c) == 0  # x < 2^e → exponent was rounded up
+    e = np.where(too_big, e - 1, e)
+    return 63 - e
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:
