@@ -1,0 +1,176 @@
+"""Continuous aggregates: tier-0 chunks → tumbling-window rollup tiers.
+
+Semantics follow IoTDB ``GROUP BY ([t1,t2), interval)`` — left-closed
+right-open windows aligned to the epoch (reference window iterator
+``AggrWindowIterator``, datanode/.../aggregation/timerangeiterator/
+AggrWindowIterator.java:30-33) — with the accumulator set
+count/sum/min/max/avg/first/last (reference execution/aggregation/*).
+
+Physical design (the SeriesAggregationScanOperator idea made structural,
+SURVEY.md §2.5): tier-1 partials are computed INSIDE the decode kernel —
+per (chunk, window) via ``np.*.reduceat`` on the decoded arrays — so the
+shuffle that follows carries one row per (doc, window), not one per point.
+Catalyst then runs partial/final aggregation on top for chunks that split
+a window. Tiers ≥ 2 never touch points or Python: they are pure
+DataFrame ``groupBy`` over the next-finer tier, and every aggregate
+composes (sum of sums, min of mins, first by earliest first_ts, ...).
+
+Windows fully covered by a chunk can be answered from chunk statistics
+alone (`rollup_from_stats`) without decoding any blob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs.batched import decode_rows
+
+WINDOW_1M_US = 60_000_000
+WINDOW_1H_US = 3_600_000_000
+WINDOW_1D_US = 86_400_000_000
+
+TIER_PARTIAL_SCHEMA = (
+    "doc_id string, source string, window_start bigint, cnt bigint, "
+    "sum_v bigint, min_v bigint, max_v bigint, "
+    "first_ts bigint, first_v bigint, last_ts bigint, last_v bigint"
+)
+
+
+def _blob_np(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Binary array -> (data uint8, splits int64) without per-row copies."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return data, offsets
+
+
+def decode_points(chunks_df: DataFrame) -> DataFrame:
+    """chunks → (doc_id, source, ts, value) point rows, batched decode."""
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbuf, tsp = _blob_np(batch.column("time_blob"))
+            vbuf, vsp = _blob_np(batch.column("value_blob"))
+            ts, splits = decode_rows(tbuf, tsp)
+            vals, _ = decode_rows(vbuf, vsp)
+            counts = np.diff(splits)
+            idx = pa.array(np.repeat(np.arange(batch.num_rows), counts))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(idx),
+                    batch.column("source").take(idx),
+                    pa.array(ts),
+                    pa.array(vals),
+                ],
+                names=["doc_id", "source", "ts", "value"],
+            )
+
+    return chunks_df.select("doc_id", "source", "time_blob", "value_blob").mapInArrow(
+        kern, schema="doc_id string, source string, ts bigint, value bigint"
+    )
+
+
+def _window_partials_kernel(window_us: int):
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbuf, tsp = _blob_np(batch.column("time_blob"))
+            vbuf, vsp = _blob_np(batch.column("value_blob"))
+            ts, splits = decode_rows(tbuf, tsp)
+            vals, _ = decode_rows(vbuf, vsp)
+            counts = np.diff(splits)
+            if len(ts) == 0:
+                continue
+            win = ts // window_us * window_us
+            row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            change = np.empty(len(win), dtype=bool)
+            change[0] = True
+            np.logical_or(win[1:] != win[:-1], row_of[1:] != row_of[:-1], out=change[1:])
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(win))
+            grp_idx = pa.array(row_of[starts])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id").take(grp_idx),
+                    batch.column("source").take(grp_idx),
+                    pa.array(win[starts]),
+                    pa.array(ends - starts),
+                    pa.array(np.add.reduceat(vals, starts)),
+                    pa.array(np.minimum.reduceat(vals, starts)),
+                    pa.array(np.maximum.reduceat(vals, starts)),
+                    pa.array(ts[starts]),
+                    pa.array(vals[starts]),
+                    pa.array(ts[ends - 1]),
+                    pa.array(vals[ends - 1]),
+                ],
+                names=[
+                    "doc_id", "source", "window_start", "cnt", "sum_v",
+                    "min_v", "max_v", "first_ts", "first_v", "last_ts", "last_v",
+                ],
+            )
+
+    return kern
+
+
+def _finalize(partials: DataFrame) -> DataFrame:
+    """Merge partials across chunks of the same (doc, window) — Catalyst
+    plans this as partial+final HashAggregate, map-side combined."""
+    return partials.groupBy("doc_id", "source", "window_start").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.min("first_ts").alias("first_ts"),
+        F.min_by("first_v", "first_ts").alias("first_v"),
+        F.max("last_ts").alias("last_ts"),
+        F.max_by("last_v", "last_ts").alias("last_v"),
+    )
+
+
+def rollup_tier1(chunks_df: DataFrame, window_us: int = WINDOW_1M_US) -> DataFrame:
+    """tier0 chunks → tier1 windowed aggregates (decode happens here, once)."""
+    src = chunks_df.select("doc_id", "source", "time_blob", "value_blob")
+    partials = src.mapInArrow(_window_partials_kernel(window_us), schema=TIER_PARTIAL_SCHEMA)
+    return _finalize(partials)
+
+
+def promote(tier_df: DataFrame, coarser_window_us: int) -> DataFrame:
+    """tier k → tier k+1: pure DataFrame over pre-aggregated rows.
+    No Python, no decode — this is the cheap cascade that makes multi-tier
+    downsampling nearly free at 100 TB (each tier is ~window-ratio smaller)."""
+    w = F.lit(coarser_window_us)
+    regrouped = tier_df.withColumn(
+        "window_start", (F.col("window_start") / w).cast("bigint") * w
+    )
+    return _finalize(regrouped)
+
+
+def with_avg(tier_df: DataFrame) -> DataFrame:
+    return tier_df.withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+
+
+def rollup_from_stats(chunks_df: DataFrame) -> DataFrame:
+    """Aggregate directly from chunk statistics — valid when the query
+    window fully covers each chunk (here: per-doc totals). This is the
+    reference's statistics-based aggregation scan: zero blob reads; the
+    parquet scan prunes to the stats columns only."""
+    return chunks_df.groupBy("doc_id", "source").agg(
+        F.sum("count").alias("cnt"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
+    )

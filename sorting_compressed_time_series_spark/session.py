@@ -1,0 +1,44 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local-mode knobs are proxies for the real-cluster settings documented next
+to each line; the same builder is what `spark-submit --py-files` jobs use.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "spark-tsrollup",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 32)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        # shuffle parallelism ≈ cores locally; on a 1000-executor cluster this
+        # is set to ~2-3× total cores and AQE coalesces the tail
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the Python worker round trip for the
+        # vectorized codec kernels (whole-batch encode)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,47 @@
+"""Seriesization: deterministic event-time synthesis for token sequences.
+
+The input table has no timestamps (it is a corpus of pre-tokenized
+sequences); the engine interprets each row as one series with
+``value[i] = tokens[i]`` and a synthetic, *mostly ordered* event time
+
+    ts[i] = t0(doc) + i*STEP + jitter(doc,i) - ooo_displacement(doc,i)
+
+mirroring the reference's out-of-order regime (FIXTURES.md F2
+``nearly_sorted``: a controlled fraction of points displaced backwards).
+Pure function of (seed, doc index, position): identical at any
+parallelism. All vectorized over the flat token stream of a batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions.hashing import hash2
+
+EPOCH0 = 1_700_000_000_000_000  # µs, fixed engine epoch
+STEP_US = 1_000  # nominal inter-point step
+OOO_RATE = 50  # 1-in-50 points displaced (2%, FIXTURES nearly_sorted regime)
+OOO_MAX_DISP = 40_000  # ≤ 40 steps backwards
+
+
+def synth_timestamps(
+    doc_index: np.ndarray, positions: np.ndarray, seed: int = 42
+) -> np.ndarray:
+    """Event time for each (doc, position) pair (flat arrays)."""
+    doc_index = np.asarray(doc_index, dtype=np.uint64)
+    positions = np.asarray(positions, dtype=np.int64)
+    t0 = (hash2(doc_index, 3, seed) % np.uint64(86_400_000_000)).astype(np.int64) + EPOCH0
+    jitter = (hash2(doc_index << np.uint64(20), positions, seed + 9)
+              % np.uint64(STEP_US // 2)).astype(np.int64)
+    ts = t0 + positions * STEP_US + jitter
+    h = hash2(doc_index << np.uint64(20), positions, seed + 11)
+    ooo = (h % np.uint64(OOO_RATE)) == 0
+    disp = (hash2(doc_index << np.uint64(20), positions, seed + 13)
+            % np.uint64(OOO_MAX_DISP)).astype(np.int64) + 1
+    ts[ooo & (positions > 0)] -= disp[ooo & (positions > 0)]
+    return ts
+
+
+def doc_index_from_id(doc_id_bytes_prefixstripped: np.ndarray) -> np.ndarray:
+    """doc 'doc0000000123' -> 123 (vectorized string → int)."""
+    return doc_id_bytes_prefixstripped.astype(np.int64)
