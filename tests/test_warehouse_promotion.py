@@ -1,0 +1,133 @@
+"""Warehouse commit protocol + checkpoint-resumable promotion + TTL + gapfill.
+
+Oracles per FIXTURES.md F3: interrupted promotion resumed from checkpoint
+must equal an uninterrupted run; post-TTL tables equal a filtered
+expectation; gap-fill modes equal pandas ffill/interp/fillna."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sorting_compressed_time_series_spark.operators.gapfill import gapfill
+from sorting_compressed_time_series_spark.operators.rollup import (
+    WINDOW_1H_US,
+    WINDOW_1M_US,
+    with_avg,
+)
+from sorting_compressed_time_series_spark.plans.pipeline import Pipeline, TierSpec
+from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+from sorting_compressed_time_series_spark.sources.warehouse import Warehouse
+
+N_DOCS = 120
+SEED = 42
+
+
+def _tiers():
+    return [
+        TierSpec("tier1_1m", WINDOW_1M_US, ttl_us=None),
+        TierSpec("tier2_1h", WINDOW_1H_US, ttl_us=None),
+    ]
+
+
+def _collect(df, keys=("doc_id", "window_start")):
+    pdf = df.toPandas().sort_values(list(keys)).reset_index(drop=True)
+    return pdf.drop(columns=[c for c in ("p_day",) if c in pdf.columns])
+
+
+@pytest.fixture(scope="module")
+def uninterrupted(spark, tmp_path_factory):
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_full")))
+    p = Pipeline(spark, wh, _tiers())
+    toks = generate_tokens_df(spark, N_DOCS, SEED)
+    p.ingest(toks, SEED)
+    p.promote_all()
+    return {s.name: _collect(wh.read(spark, s.name)) for s in _tiers()}, wh
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path_factory, uninterrupted):
+    want, wh_full = uninterrupted
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_resume")))
+    p = Pipeline(spark, wh, _tiers())
+    toks = generate_tokens_df(spark, N_DOCS, SEED)
+    p.ingest(toks, SEED)
+    # interrupted run: promote only up to the middle of the data span
+    chunks = wh.read(spark, "chunks_tier0")
+    lo, hi = chunks.agg(F.min("min_ts"), F.max("max_ts")).collect()[0]
+    p.promote_all(up_to_us=(lo + hi) // 2)
+    mid_rows = wh.read(spark, "tier1_1m").count()
+    assert 0 < mid_rows < len(want["tier1_1m"])
+    # resume to completion
+    p.promote_all()
+    for name in want:
+        got = _collect(wh.read(spark, name))
+        pd.testing.assert_frame_equal(
+            got[want[name].columns], want[name], check_dtype=False
+        )
+
+
+def test_rerun_promotion_is_idempotent(spark, uninterrupted):
+    want, wh = uninterrupted
+    p = Pipeline(spark, wh, _tiers())
+    p.promote_all()  # no-op: watermark already at completion
+    for name in want:
+        got = _collect(wh.read(spark, name))
+        pd.testing.assert_frame_equal(got[want[name].columns], want[name], check_dtype=False)
+
+
+def test_retention_drops_old_partitions(spark, tmp_path_factory):
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_ttl")))
+    tiers = [TierSpec("tier1_1m", WINDOW_1M_US, ttl_us=12 * 3_600_000_000)]
+    p = Pipeline(spark, wh, tiers)
+    toks = generate_tokens_df(spark, N_DOCS, SEED)
+    p.ingest(toks, SEED)
+    p.promote_all()
+    before = wh.read(spark, "tier1_1m").toPandas()
+    now_us = int(before.window_start.max())
+    summary = p.retain(now_us)[0]
+    after = wh.read(spark, "tier1_1m").toPandas()
+    cutoff_day = (now_us - tiers[0].ttl_us) // 86_400_000_000
+    want = before[before.window_start // 86_400_000_000 >= cutoff_day]
+    assert summary["rows_after"] == len(want)
+    assert len(after) == len(want)
+    assert after.window_start.min() >= cutoff_day * 86_400_000_000
+
+
+def test_gapfill_modes_match_pandas(spark):
+    # FIXTURES.md F3 "gap-fill": tier rows with deleted windows; each series
+    # has interior gaps, leading/trailing anchors, and null-heavy stretches
+    rng = np.random.default_rng(3)
+    rows = []
+    for d in range(25):
+        present = sorted(rng.choice(60, size=rng.integers(2, 20), replace=False))
+        for w in present:
+            rows.append((f"doc{d:02d}", int(w) * WINDOW_1M_US, float(rng.integers(-50, 50))))
+    tier1 = spark.createDataFrame(rows, "doc_id string, window_start bigint, avg_v double")
+    for mode, const in [("previous", None), ("linear", None), ("constant", 0.0)]:
+        got = gapfill(tier1, WINDOW_1M_US, "avg_v", mode, constant=const).toPandas()
+        got = got.sort_values(["doc_id", "window_start"]).reset_index(drop=True)
+        out = []
+        for doc, grp in got.groupby("doc_id"):
+            s = grp.set_index("window_start")["raw_value"]
+            full = s  # spine already complete in `got`
+            if mode == "previous":
+                exp = full.ffill()
+            elif mode == "linear":
+                idx = full.index.to_numpy().astype(float)
+                exp = pd.Series(
+                    np.interp(idx, idx[full.notna()], full[full.notna()],
+                              left=np.nan, right=np.nan),
+                    index=full.index,
+                )
+                exp[full.notna()] = full[full.notna()]
+            else:
+                exp = full.fillna(const)
+            out.append(np.allclose(
+                grp["filled"].to_numpy(dtype=float),
+                exp.to_numpy(dtype=float),
+                equal_nan=True,
+            ))
+        assert all(out), mode
+    # the synthetic data must actually contain gaps for this test to matter
+    assert (got["was_missing"]).any()
