@@ -1,0 +1,120 @@
+"""Window framing variants beyond tumbling/sliding time windows.
+
+IoTDB's GROUP BY variants (reference window managers,
+datanode/.../execution/operator/window/*.java — TimeWindow, SessionWindow,
+CountWindow, VariationWindow, ConditionWindow), expressed as pure
+DataFrame/SQL "islands" constructions (lag + cumulative sum over an
+ordered window) so Catalyst keeps them whole-stage-codegen'd.
+
+All functions take a points-like DataFrame and return it with a window/group
+id column; aggregation on top is a plain groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def tumbling(df: DataFrame, ts_col: str, window_us: int) -> Column:
+    """Left-closed right-open epoch-aligned buckets (AggrWindowIterator)."""
+    return (F.col(ts_col) / F.lit(window_us)).cast("bigint") * F.lit(window_us)
+
+
+def sliding_windows(df: DataFrame, ts_col: str, interval_us: int, step_us: int) -> DataFrame:
+    """Each point joins every window [w, w+interval) containing it; windows
+    start at multiples of step (IoTDB GROUP BY ([t1,t2), interval, step)).
+    Implemented with sequence+explode — no UDF, no range join."""
+    first = (F.ceil((F.col(ts_col) - F.lit(interval_us - 1)) / F.lit(step_us))
+             .cast("bigint") * F.lit(step_us))
+    last = (F.col(ts_col) / F.lit(step_us)).cast("bigint") * F.lit(step_us)
+    return df.withColumn(
+        "window_start",
+        F.explode(F.sequence(F.greatest(first, F.lit(0)), last, F.lit(step_us))),
+    )
+
+
+def session_windows(df: DataFrame, key: str, ts_col: str, gap_us: int) -> DataFrame:
+    """New session when the gap to the previous point exceeds ``gap_us``
+    (SessionWindow semantics): lag + cumsum islands."""
+    w = W.partitionBy(key).orderBy(ts_col)
+    is_new = (
+        F.col(ts_col) - F.lag(ts_col).over(w) > gap_us
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(F.coalesce(is_new, F.lit(1))).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+
+
+def count_windows(df: DataFrame, key: str, ts_col: str, n: int,
+                  tiebreak: str | None = None) -> DataFrame:
+    """Fixed-size count windows in time order (CountWindow)."""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    return df.withColumn(
+        "count_window", ((F.row_number().over(w) - 1) / n).cast("bigint")
+    )
+
+
+def condition_windows(df: DataFrame, key: str, ts_col: str, predicate: Column,
+                      tiebreak: str | None = None) -> DataFrame:
+    """Maximal runs of consecutive points satisfying ``predicate``
+    (ConditionWindow keep-value semantics): islands over the filtered set.
+    group id = (#predicate-false points seen so far); rows failing the
+    predicate are dropped, runs keep a stable id."""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    tagged = df.withColumn("_miss", (~predicate).cast("bigint"))
+    return (
+        tagged.withColumn("condition_group", F.sum("_miss").over(w))
+        .filter(predicate)
+        .drop("_miss")
+    )
+
+
+def variation_windows_eq(df: DataFrame, key: str, ts_col: str, value_col: str,
+                         tiebreak: str | None = None) -> DataFrame:
+    """VariationWindow(delta=0): consecutive equal values form one window.
+    (The general delta>0 form is inherently sequential — each window is
+    anchored at its own first element; that variant lives in
+    ``variation_windows_delta`` below as a grouped pandas kernel.)"""
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    changed = (
+        (F.col(value_col) != F.lag(value_col).over(w))
+        | F.lag(value_col).over(w).isNull()
+    ).cast("int")
+    return df.withColumn(
+        "variation_group",
+        F.sum(F.coalesce(changed, F.lit(1))).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
+def variation_windows_delta(df: DataFrame, key: str, ts_col: str, value_col: str,
+                            delta: float) -> DataFrame:
+    """General VariationWindow: a window breaks when |v - first_of_window| >
+    delta. Sequential per series → applyInPandas with a vectorized
+    break-scan per group (rare operator; not on the hot path)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", variation_group bigint"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        v = pdf[value_col].to_numpy()
+        group = np.zeros(len(v), dtype=np.int64)
+        g, anchor = 0, v[0] if len(v) else 0
+        for i in range(1, len(v)):  # anchored scan: inherently sequential
+            if abs(v[i] - anchor) > delta:
+                g += 1
+                anchor = v[i]
+            group[i] = g
+        pdf["variation_group"] = group
+        return pdf
+
+    return df.groupBy(key).applyInPandas(kern, schema=out_schema)

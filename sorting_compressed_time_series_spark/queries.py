@@ -1,0 +1,862 @@
+"""Query registry: every operator from SURVEY.md §2, as (spark_fn, oracle_sql).
+
+Each entry runs the engine's Spark path over the driver's testdata tables
+and (where ANSI-SQL-expressible) carries a DuckDB oracle over the same
+parquet that the correctness gate compares row-counts/schemas/value-hashes
+against. The ``events`` table plays the time-series role (series key =
+``user_id``); ``documents``/``embeddings`` drive the training-data
+pipeline operators. Non-SQL-expressible ops (codec internals, LSH,
+streaming) are registered without oracle → rows-only check; their real
+oracles are the pytest suites.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark code and the SQL (the driver hashes values under sorted column
+names).
+Floats: aggregates that accumulate doubles in parallel are quantized
+(``floor(value*1e6)`` integer math) or rounded at emission on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .codecs.chunk import (
+    CODEC_DELTA,
+    CODEC_DOD,
+    CODEC_GORILLA_F64,
+    CODEC_VARINT,
+    decode_chunk,
+    encode_chunk,
+)
+from .operators import windows as WIN
+from .operators.compressed_sort import compressed_sort
+from .codecs.bytealigned import delta_decode, delta_encode, varint_decode, varint_encode
+from .operators.gapfill import gapfill
+from .operators.rollup import (
+    WINDOW_1H_US,
+    WINDOW_1M_US,
+    decode_points,
+    promote,
+    rollup_from_stats,
+    rollup_tier1,
+    with_avg,
+)
+
+US_1M = WINDOW_1M_US
+US_1H = WINDOW_1H_US
+
+# value quantization: exact integer math on both sides (no float-agg drift)
+Q = "CAST(floor(value * 1000000) AS BIGINT)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # parquet timestamp[us] arrives as TIMESTAMP_NTZ; session TZ is pinned to
+    # UTC so the cast matches DuckDB's naive epoch_us exactly
+    return df.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    ).withColumn(
+        "q", F.floor(F.col("value") * 1_000_000).cast("bigint")
+    )
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# events → chunk encoding helpers (per-user series through the real codecs)
+# ---------------------------------------------------------------------------
+
+_ENC_SCHEMA = (
+    "user_id bigint, count int, min_ts bigint, max_ts bigint, "
+    "time_blob binary, value_blob binary"
+)
+
+
+def _encode_user_series(spark: SparkSession, sf_dir: str, value_expr: str = "q",
+                        codec_pair: tuple[int, int] = (CODEC_DELTA, CODEC_VARINT)) -> DataFrame:
+    """events → one chunk per user: sort by (ts, event_id), encode through
+    the byte-aligned (or bit-packed) codec pair. applyInPandas: 150-20k
+    groups, numpy inside."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_us", F.expr(value_expr).alias("v"), "event_id"
+    )
+    t_codec, v_codec = codec_pair
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        vals = pdf["v"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "count": [len(ts)],
+                "min_ts": [ts.min()],
+                "max_ts": [ts.max()],
+                "time_blob": [encode_chunk(ts, t_codec)],
+                "value_blob": [encode_chunk(vals, v_codec)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(kern, schema=_ENC_SCHEMA)
+
+
+def _decode_user_series(chunks: DataFrame, out_value: str) -> DataFrame:
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            users, tss, vss = [], [], []
+            uid = b.column("user_id").to_numpy(zero_copy_only=False)
+            tb = b.column("time_blob")
+            vb = b.column("value_blob")
+            for i in range(b.num_rows):
+                ts = decode_chunk(tb[i].as_py())
+                vs = decode_chunk(vb[i].as_py())
+                users.append(np.full(len(ts), uid[i], dtype=np.int64))
+                tss.append(np.asarray(ts, dtype=np.int64))
+                vss.append(np.asarray(vs, dtype=np.int64) if vs.dtype != np.float64 else vs)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(users)),
+                    pa.array(np.concatenate(tss)),
+                    pa.array(np.concatenate(vss)),
+                ],
+                names=["user_id", "ts_us", out_value],
+            )
+
+    out_type = "double" if out_value == "value" else "bigint"
+    return chunks.mapInArrow(kern, schema=f"user_id bigint, ts_us bigint, {out_value} {out_type}")
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# -- codecs end-to-end -------------------------------------------------------
+
+
+@q(
+    "roundtrip_bytealigned",
+    f"""
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id
+    FROM events
+    """,
+)
+def roundtrip_bytealigned(spark, sf_dir):
+    """TS_DELTA/V_VARINT pair end-to-end: encode each user's series, decode,
+    emit every point (value plane carries event_id). The order-insensitive
+    value hash against raw `events` proves exact round-trip at table scale
+    (reference EncodeDecodeTest re-expression on real data)."""
+    chunks = _encode_user_series(spark, sf_dir, value_expr="event_id")
+    return _decode_user_series(chunks, "event_id_out").select(
+        "user_id", "ts_us", F.col("event_id_out").alias("event_id")
+    )
+
+
+@q(
+    "roundtrip_bitpacked",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    """,
+)
+def roundtrip_bitpacked(spark, sf_dir):
+    """Delta-of-delta timestamps + Gorilla-XOR double values end-to-end
+    (reference DeltaDeltaLongEncoder + DoublePrecisionEncoderV2 pair)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "value", "event_id")
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "count": [len(pdf)],
+                "min_ts": [pdf["ts_us"].min()],
+                "max_ts": [pdf["ts_us"].max()],
+                "time_blob": [encode_chunk(pdf["ts_us"].to_numpy(np.int64), CODEC_DOD)],
+                "value_blob": [
+                    encode_chunk(pdf["value"].to_numpy(np.float64), CODEC_GORILLA_F64)
+                ],
+            }
+        )
+
+    chunks = ev.groupBy("user_id").applyInPandas(enc, schema=_ENC_SCHEMA)
+    return _decode_user_series(chunks, "value")
+
+
+@q(
+    "compressed_sort",
+    f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             epoch_us(ts) - CASE WHEN event_id % 37 = 0 THEN 7200000000 ELSE 0 END AS arrival_key
+      FROM events
+    )
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_us, arrival_key, event_id) AS seq,
+           ts_us, event_id
+    FROM b
+    """,
+)
+def compressed_sort_q(spark, sf_dir):
+    """The signature operator on real data: series arrive NEARLY sorted
+    (every 37th event displaced 2h backwards), are encoded in arrival
+    order, sorted in the compressed domain (rotation path), decoded.
+    Output order is checked via seq (reference CompressedDataSorter
+    correctness oracle, MemtableSortTest.testSortCorrect)."""
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            (
+                F.col("ts_us")
+                - F.when(F.col("event_id") % 37 == 0, F.lit(7_200_000_000)).otherwise(0)
+            ).alias("arrival_key"),
+        )
+    )
+
+    schema = "user_id bigint, seq bigint, ts_us bigint, event_id bigint"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["arrival_key", "event_id"], kind="stable")
+        # arrival stream: displaced timestamps make it nearly-sorted
+        td = delta_encode(pdf["ts_us"].to_numpy(np.int64))
+        vd = varint_encode(pdf["event_id"].to_numpy(np.int64))
+        td, vd, _ = compressed_sort(td, vd)
+        ts = delta_decode(td)
+        ev_ids = varint_decode(vd)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "seq": np.arange(1, len(ts) + 1),
+                "ts_us": ts,
+                "event_id": ev_ids,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
+
+
+# -- rollups ------------------------------------------------------------------
+
+
+_ROLLUP_COLS = (
+    "count(*) AS cnt, sum(q) AS sum_q, min(q) AS min_q, max(q) AS max_q, "
+    "first(q ORDER BY ts_us, event_id) AS first_q, "
+    "first(q ORDER BY ts_us DESC, event_id DESC) AS last_q"
+)
+
+
+def _rollup_oracle(window_us: int) -> str:
+    return f"""
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, {Q} AS q FROM events)
+    SELECT user_id, ts_us // {window_us} * {window_us} AS window_start, {_ROLLUP_COLS}
+    FROM b GROUP BY 1, 2
+    """
+
+
+def _chunks_for_rollup(spark, sf_dir):
+    ch = _encode_user_series(spark, sf_dir, value_expr="q")
+    return ch.withColumn("doc_id", F.col("user_id").cast("string")).withColumn(
+        "source", F.lit("events")
+    )
+
+
+def _tier_out(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("user_id"),
+        "window_start",
+        F.col("cnt"),
+        F.col("sum_v").alias("sum_q"),
+        F.col("min_v").alias("min_q"),
+        F.col("max_v").alias("max_q"),
+        F.col("first_v").alias("first_q"),
+        F.col("last_v").alias("last_q"),
+    )
+
+
+@q("rollup_1m", _rollup_oracle(US_1M))
+def rollup_1m(spark, sf_dir):
+    """Tumbling-window continuous aggregate computed FROM THE CHUNK BLOBS:
+    encode per-user chunks, window partials inside the decode kernel,
+    Catalyst final-aggregates (IoTDB GROUP BY ([t1,t2), 1m) semantics,
+    left-closed right-open, epoch aligned)."""
+    return _tier_out(rollup_tier1(_chunks_for_rollup(spark, sf_dir), US_1M))
+
+
+@q("rollup_1h_from_1m", _rollup_oracle(US_1H))
+def rollup_1h_from_1m(spark, sf_dir):
+    """Tier promotion: 1h aggregates composed from 1m aggregates only
+    (sum of sums, min of mins, first by earliest first_ts...) — must equal
+    a direct 1h rollup of the raw points (the multi-tier downsampling
+    invariant)."""
+    t1 = rollup_tier1(_chunks_for_rollup(spark, sf_dir), US_1M)
+    return _tier_out(promote(t1, US_1H))
+
+
+@q(
+    "rollup_from_chunk_stats",
+    f"""
+    WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, {Q} AS q FROM events)
+    SELECT user_id, count(*) AS cnt, sum(q) AS sum_q, min(q) AS min_q,
+           max(q) AS max_q, min(ts_us) AS min_ts, max(ts_us) AS max_ts
+    FROM b GROUP BY 1
+    """,
+)
+def rollup_from_chunk_stats_q(spark, sf_dir):
+    """Statistics-only aggregation: answers per-series totals from chunk
+    metadata columns without decoding a single blob (reference
+    SeriesAggregationScanOperator fast path)."""
+    ch = _encode_user_series(spark, sf_dir, value_expr="q")
+    # recompute stats columns the chunk table would carry (count/min/max/sum)
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("count"),
+        F.sum("q").alias("sum_v"),
+        F.min("q").alias("min_v"),
+        F.max("q").alias("max_v"),
+        F.min("ts_us").alias("min_ts"),
+        F.max("ts_us").alias("max_ts"),
+    )
+    chunks = ch.drop("min_ts", "max_ts", "count").join(stats, "user_id").withColumn(
+        "doc_id", F.col("user_id").cast("string")
+    ).withColumn("source", F.lit("events"))
+    out = rollup_from_stats(chunks)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("user_id"),
+        F.col("cnt"),
+        F.col("sum_v").alias("sum_q"),
+        F.col("min_v").alias("min_q"),
+        F.col("max_v").alias("max_q"),
+        "min_ts",
+        "max_ts",
+    )
+
+
+@q(
+    "sliding_window_10m_5m",
+    f"""
+    WITH b AS (SELECT user_id, epoch_us(ts) AS t, {Q} AS q FROM events),
+    e AS (
+      SELECT user_id, q,
+             unnest(generate_series((t - 600000000) // 300000000 * 300000000 + 300000000,
+                                    t // 300000000 * 300000000, 300000000)) AS window_start
+      FROM b
+    )
+    SELECT user_id, window_start, count(*) AS cnt, sum(q) AS sum_q
+    FROM e GROUP BY 1, 2
+    """,
+)
+def sliding_window_10m_5m(spark, sf_dir):
+    """Sliding windows (interval 10m, step 5m) via sequence+explode — the
+    SlidingWindowAggregationOperator semantic without a range join."""
+    ev = _events(spark, sf_dir)
+    e = WIN.sliding_windows(ev, "ts_us", 600_000_000, 300_000_000)
+    return e.groupBy("user_id", "window_start").agg(
+        F.count("*").alias("cnt"), F.sum("q").alias("sum_q")
+    )
+
+
+# -- gap fill -----------------------------------------------------------------
+
+
+_GAPFILL_BASE = f"""
+    WITH hourly AS (
+      SELECT user_id, epoch_us(ts) // {US_1H} * {US_1H} AS window_start,
+             sum({Q}) * 1.0 / count(*) AS avg_q
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(min(window_start), max(window_start), {US_1H})) AS window_start
+      FROM hourly GROUP BY user_id
+    ),
+    j AS (
+      SELECT s.user_id, s.window_start, h.avg_q
+      FROM spine s LEFT JOIN hourly h USING (user_id, window_start)
+    )
+"""
+
+
+def _gapfill_frame(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "user_id", (F.col("ts_us") / US_1H).cast("bigint").alias("wdiv")
+    ).agg((F.sum("q") * 1.0 / F.count("*")).alias("avg_q"))
+    return hourly.select(
+        F.col("user_id").alias("doc_id"), (F.col("wdiv") * US_1H).alias("window_start"), "avg_q"
+    )
+
+
+@q(
+    "gapfill_previous",
+    _GAPFILL_BASE
+    + """
+    SELECT user_id, window_start,
+           last_value(avg_q IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY window_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM j
+    """,
+)
+def gapfill_previous(spark, sf_dir):
+    """FILL(PREVIOUS) on an hourly spine (reference FillOperator /
+    identity fill)."""
+    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "previous")
+    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+
+
+@q(
+    "gapfill_linear",
+    _GAPFILL_BASE
+    + """
+    , anchors AS (
+      SELECT user_id, window_start, avg_q,
+        last_value(avg_q IGNORE NULLS) OVER w_prev AS prev_v,
+        last_value(CASE WHEN avg_q IS NOT NULL THEN window_start END IGNORE NULLS) OVER w_prev AS prev_t,
+        first_value(avg_q IGNORE NULLS) OVER w_next AS next_v,
+        first_value(CASE WHEN avg_q IS NOT NULL THEN window_start END IGNORE NULLS) OVER w_next AS next_t
+      FROM j
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY window_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY window_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, window_start,
+           coalesce(avg_q, CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN
+             prev_v + (next_v - prev_v) * (window_start - prev_t) / (next_t - prev_t) END) AS filled
+    FROM anchors
+    """,
+)
+def gapfill_linear(spark, sf_dir):
+    """FILL(LINEAR) (reference LinearFillOperator)."""
+    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "linear")
+    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+
+
+@q(
+    "gapfill_constant",
+    _GAPFILL_BASE
+    + """
+    SELECT user_id, window_start, coalesce(avg_q, 0.0) AS filled
+    FROM j
+    """,
+)
+def gapfill_constant(spark, sf_dir):
+    """FILL(constant 0)."""
+    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "constant", constant=0.0)
+    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+
+
+# -- window framing variants --------------------------------------------------
+
+
+@q(
+    "session_window_30m",
+    """
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                  THEN 1 ELSE 1 - CASE WHEN lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL THEN 0 ELSE 1 END
+             END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM b
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(t) AS start_ts, max(t) AS end_ts
+    FROM s GROUP BY 1, 2
+    """,
+)
+def session_window_30m(spark, sf_dir):
+    """SessionWindow (gap > 30 min starts a new session): lag+cumsum islands
+    (reference execution/operator/window/SessionWindow*)."""
+    ev = _events(spark, sf_dir)
+    s = WIN.session_windows(ev, "user_id", "ts_us", 1_800_000_000)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_ts"),
+        F.max("ts_us").alias("end_ts"),
+    )
+
+
+@q(
+    "count_window_20",
+    f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, {Q} AS q,
+             (row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - 1) // 20
+               AS count_window
+      FROM events
+    )
+    SELECT user_id, count_window, count(*) AS cnt, sum(q) AS sum_q,
+           min(t) AS min_ts, max(t) AS max_ts
+    FROM b GROUP BY 1, 2
+    """,
+)
+def count_window_20(spark, sf_dir):
+    """CountWindow(20): fixed-size windows in time order (reference
+    window/CountWindow*)."""
+    ev = _events(spark, sf_dir)
+    w = WIN.count_windows(ev, "user_id", "ts_us", 20, tiebreak="event_id")
+    return w.groupBy("user_id", "count_window").agg(
+        F.count("*").alias("cnt"),
+        F.sum("q").alias("sum_q"),
+        F.min("ts_us").alias("min_ts"),
+        F.max("ts_us").alias("max_ts"),
+    )
+
+
+@q(
+    "condition_window",
+    f"""
+    WITH b AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t, value,
+             sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS condition_group
+      FROM events
+    )
+    SELECT user_id, condition_group, count(*) AS cnt,
+           min(t) AS start_ts, max(t) AS end_ts
+    FROM b WHERE value > 50 GROUP BY 1, 2
+    """,
+)
+def condition_window(spark, sf_dir):
+    """ConditionWindow (keep-value runs where value > 50): islands over the
+    predicate (reference window/ConditionWindow*)."""
+    ev = _events(spark, sf_dir)
+    c = WIN.condition_windows(ev, "user_id", "ts_us", F.col("value") > 50, tiebreak="event_id")
+    return c.groupBy("user_id", "condition_group").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts_us").alias("start_ts"),
+        F.max("ts_us").alias("end_ts"),
+    )
+
+
+@q(
+    "variation_window_eq",
+    """
+    WITH b AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+             CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER
+                  (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, t,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS variation_group
+      FROM b
+    )
+    SELECT user_id, variation_group, any_value(event_type) AS event_type, count(*) AS cnt
+    FROM g GROUP BY 1, 2
+    """,
+)
+def variation_window_eq(spark, sf_dir):
+    """VariationWindow(delta=0): consecutive equal values form one window
+    (reference window/VariationWindow*)."""
+    ev = _events(spark, sf_dir)
+    v = WIN.variation_windows_eq(ev, "user_id", "ts_us", "event_type", tiebreak="event_id")
+    return v.groupBy("user_id", "variation_group").agg(
+        F.any_value("event_type").alias("event_type"), F.count("*").alias("cnt")
+    )
+
+
+# -- scans / last cache / joins ----------------------------------------------
+
+
+@q(
+    "last_point",
+    """
+    SELECT user_id,
+           max(epoch_us(ts)) AS last_ts,
+           first(value ORDER BY epoch_us(ts) DESC, event_id DESC) AS last_value
+    FROM events GROUP BY 1
+    """,
+)
+def last_point(spark, sf_dir):
+    """LastCacheScanOperator: latest point per series via max_by."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max("ts_us").alias("last_ts"),
+        F.max_by("value", F.struct("ts_us", "event_id")).alias("last_value"),
+    )
+
+
+US_1D = 86_400_000_000
+
+_JOIN_BASE = f"""
+    WITH c AS (
+      SELECT user_id, epoch_us(ts) // {US_1D} * {US_1D} AS m, count(*) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT user_id, epoch_us(ts) // {US_1D} * {US_1D} AS m, count(*) AS n_view
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+"""
+
+
+def _minutely(spark, sf_dir, etype, alias):
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == etype)
+    return ev.groupBy(
+        "user_id", ((F.col("ts_us") / US_1D).cast("bigint") * US_1D).alias("m")
+    ).agg(F.count("*").alias(alias))
+
+
+@q("time_join_inner", _JOIN_BASE + """
+    SELECT c.user_id, c.m AS ts_m, c.n_click, v.n_view
+    FROM c JOIN v ON c.user_id = v.user_id AND c.m = v.m
+    """)
+def time_join_inner(spark, sf_dir):
+    """InnerTimeJoinOperator: align two series on the time axis (minute
+    buckets)."""
+    c = _minutely(spark, sf_dir, "click", "n_click")
+    v = _minutely(spark, sf_dir, "view", "n_view")
+    return c.join(v, ["user_id", "m"], "inner").select(
+        "user_id", F.col("m").alias("ts_m"), "n_click", "n_view"
+    )
+
+
+@q("time_join_full", _JOIN_BASE + """
+    SELECT coalesce(c.user_id, v.user_id) AS user_id,
+           coalesce(c.m, v.m) AS ts_m,
+           coalesce(c.n_click, 0) AS n_click,
+           coalesce(v.n_view, 0) AS n_view
+    FROM c FULL OUTER JOIN v ON c.user_id = v.user_id AND c.m = v.m
+    """)
+def time_join_full(spark, sf_dir):
+    """FullOuterTimeJoinOperator: align-and-pad (NULL → 0 marker)."""
+    c = _minutely(spark, sf_dir, "click", "n_click")
+    v = _minutely(spark, sf_dir, "view", "n_view")
+    j = c.join(v, ["user_id", "m"], "full_outer")
+    return j.select(
+        "user_id",
+        F.col("m").alias("ts_m"),
+        F.coalesce("n_click", F.lit(0)).alias("n_click"),
+        F.coalesce("n_view", F.lit(0)).alias("n_view"),
+    )
+
+
+@q("time_join_left", _JOIN_BASE + """
+    SELECT c.user_id, c.m AS ts_m, c.n_click, coalesce(v.n_view, 0) AS n_view
+    FROM c LEFT JOIN v ON c.user_id = v.user_id AND c.m = v.m
+    """)
+def time_join_left(spark, sf_dir):
+    """LeftOuterTimeJoinOperator."""
+    c = _minutely(spark, sf_dir, "click", "n_click")
+    v = _minutely(spark, sf_dir, "view", "n_view")
+    return c.join(v, ["user_id", "m"], "left").select(
+        "user_id", F.col("m").alias("ts_m"), "n_click",
+        F.coalesce("n_view", F.lit(0)).alias("n_view"),
+    )
+
+
+@q(
+    "horizontal_concat",
+    f"""
+    SELECT user_id, epoch_us(ts) // {US_1H} * {US_1H} AS h,
+           count(*) FILTER (event_type = 'click') AS n_click,
+           count(*) FILTER (event_type = 'view') AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'error') AS n_error,
+           count(*) FILTER (event_type = 'signup') AS n_signup
+    FROM events GROUP BY 1, 2
+    """,
+)
+def horizontal_concat(spark, sf_dir):
+    """HorizontallyConcatOperator: one aligned wide row per (series, hour) —
+    conditional aggregation, no join needed."""
+    ev = _events(spark, sf_dir)
+    h = (F.col("ts_us") / US_1H).cast("bigint") * US_1H
+    out = ev.groupBy("user_id", h.alias("h"))
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "error", "signup"]
+    ]
+    return out.agg(*aggs)
+
+
+# -- accumulator suite / transforms / sorts ------------------------------------
+
+
+@q(
+    "aggregates_suite",
+    f"""
+    WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t, {Q} AS q FROM events)
+    SELECT user_id,
+           count(*) AS cnt,
+           count(*) FILTER (q > 50000000) AS cnt_if,
+           count(DISTINCT t) AS count_time,
+           sum(q) AS sum_q,
+           min(q) AS min_q, max(q) AS max_q,
+           first(q ORDER BY t, event_id) AS first_q,
+           first(q ORDER BY t DESC, event_id DESC) AS last_q,
+           first(q ORDER BY abs(q) DESC, q DESC, event_id) AS extreme_q,
+           max(t) - min(t) AS time_duration,
+           round(stddev_samp(q), 2) AS sd,
+           round(avg(q), 2) AS avg_q
+    FROM b GROUP BY 1
+    """,
+)
+def aggregates_suite(spark, sf_dir):
+    """The IoTDB accumulator set (reference execution/aggregation/*):
+    count, count_if, count_time, sum, min/max, first/last by time,
+    extreme (max by |v|, ties → larger value), time_duration, stddev, avg."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"),
+        F.count(F.when(F.col("q") > 50_000_000, 1)).alias("cnt_if"),
+        F.countDistinct("ts_us").alias("count_time"),
+        F.sum("q").alias("sum_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.min_by("q", F.struct("ts_us", "event_id")).alias("first_q"),
+        F.max_by("q", F.struct("ts_us", "event_id")).alias("last_q"),
+        F.max_by("q", F.struct(F.abs("q"), "q", (-F.col("event_id")))).alias("extreme_q"),
+        (F.max("ts_us") - F.min("ts_us")).alias("time_duration"),
+        F.round(F.stddev_samp("q"), 2).alias("sd"),
+        F.round(F.avg("q"), 2).alias("avg_q"),
+    )
+
+
+@q(
+    "transform_filter_project",
+    f"""
+    SELECT event_id, user_id,
+           round(value * 1.1 + 5, 4) AS adj,
+           upper(event_type) AS etype,
+           epoch_us(ts) % 86400000000 AS us_of_day
+    FROM events
+    WHERE value > 100 AND event_type IN ('click', 'purchase')
+    """,
+)
+def transform_filter_project(spark, sf_dir):
+    """FilterAndProjectOperator + TransformOperator: arithmetic/string/time
+    expressions, predicate pushed to the parquet scan."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter((F.col("value") > 100) & F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 1.1 + 5, 4).alias("adj"),
+            F.upper("event_type").alias("etype"),
+            (F.col("ts_us") % 86_400_000_000).alias("us_of_day"),
+        )
+    )
+
+
+@q(
+    "topk_per_series",
+    """
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+    FROM events
+    QUALIFY rn <= 3
+    """,
+)
+def topk_per_series(spark, sf_dir):
+    """TopKOperator per series: window + row_number ≤ K."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@q(
+    "sort_limit_offset",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 100 OFFSET 10
+    """,
+)
+def sort_limit_offset(spark, sf_dir):
+    """SortOperator + OffsetOperator + LimitOperator (Spark TakeOrdered)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.orderBy(F.col("value").desc(), "event_id")
+        .select("event_id", "user_id", "value")
+        .offset(10)
+        .limit(100)
+    )
+
+
+@q(
+    "group_by_rollup_levels",
+    f"""
+    SELECT coalesce(event_type, 'ALL') AS level_key, count(*) AS cnt,
+           sum({Q}) AS sum_q
+    FROM events GROUP BY ROLLUP (event_type)
+    """,
+)
+def group_by_rollup_levels(spark, sf_dir):
+    """GROUP BY LEVEL (path-hierarchy rollup): grouping-sets rollup over the
+    series hierarchy (reference TagAggregationOperator / GROUP BY LEVEL)."""
+    ev = _events(spark, sf_dir)
+    return ev.rollup("event_type").agg(
+        F.count("*").alias("cnt"), F.sum("q").alias("sum_q")
+    ).select(
+        F.coalesce("event_type", F.lit("ALL")).alias("level_key"), "cnt", "sum_q"
+    )
+
+
+@q(
+    "ttl_filter",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+    SELECT user_id, count(*) AS cnt_kept, min(epoch_us(ts)) AS oldest
+    FROM events, mx
+    WHERE epoch_us(ts) >= mx.m - 7 * 86400000000
+    GROUP BY 1
+    """,
+)
+def ttl_filter(spark, sf_dir):
+    """Write-path TTL check (reference DataRegion.isAlive): keep only rows
+    younger than now-ttl; 'now' = max event time."""
+    ev = _events(spark, sf_dir)
+    mx = ev.agg(F.max("ts_us").alias("m"))
+    return (
+        ev.join(F.broadcast(mx))
+        .filter(F.col("ts_us") >= F.col("m") - 7 * 86_400_000_000)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt_kept"), F.min("ts_us").alias("oldest"))
+    )
