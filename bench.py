@@ -1,0 +1,219 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+{"metric": "tokens_per_sec_encode_rollup", "value": N, "unit": "sec"-style
+ fields, "queries": {name: sec}, "sf": ...}
+
+Stages measured:
+- headline: synth tokens -> flush (seriesize+sort+encode) -> tier1(1s) ->
+  tier2(1m) -> tier3(1h), chunks + tiers materialized to a temp warehouse.
+  value = input tokens / (flush+rollup wall).
+- gorilla: distributed Gorilla-XOR + delta-of-delta encode pass over the
+  same corpus; reports GB/s of raw value bytes through the kernel.
+- scaling: the same headline at local[N/4] vs local[N] (default 8 vs 32)
+  on identical input; efficiency = (thr_N / thr_N/4) / 4 — the sandbox
+  proxy for the north rule's N->4N executor criterion, plus a tier-table
+  equality check between the two runs.
+- queries: every registry query timed at the given sf.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_SKIP_SCALING, BENCH_SKIP_QUERIES.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _fresh_spark(cores: int):
+    from sorting_compressed_time_series_spark.session import get_spark
+
+    return get_spark(app=f"bench{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+
+
+def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None):
+    """Run the full pipeline; return dict of stage walls + table hashes."""
+    from pyspark.sql import functions as F
+
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.operators.rollup import (
+        WINDOW_1H_US,
+        WINDOW_1M_US,
+        promote,
+        rollup_tier1,
+    )
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    tmp = keep_tables or tempfile.mkdtemp(prefix="bench_wh_")
+    toks = generate_tokens_df(spark, n_docs, seed)
+
+    t0 = time.perf_counter()
+    chunks_path = os.path.join(tmp, "chunks")
+    flush(toks, seed).write.mode("overwrite").parquet(chunks_path)
+    t_flush = time.perf_counter() - t0
+
+    chunks = spark.read.parquet(chunks_path)
+    agg = chunks.agg(
+        F.sum("count"), F.sum("bytes_raw"),
+        F.sum(F.col("bytes_time") + F.col("bytes_value")), F.sum("n_inversions"),
+    ).collect()[0]
+    n_tokens, bytes_raw, bytes_comp, inversions = (int(x) for x in agg)
+
+    t0 = time.perf_counter()
+    t1_path = os.path.join(tmp, "tier1")
+    rollup_tier1(chunks, 1_000_000).write.mode("overwrite").parquet(t1_path)
+    tier1 = spark.read.parquet(t1_path)
+    t2_path = os.path.join(tmp, "tier2")
+    promote(tier1, WINDOW_1M_US).write.mode("overwrite").parquet(t2_path)
+    tier2 = spark.read.parquet(t2_path)
+    t3_path = os.path.join(tmp, "tier3")
+    promote(tier2, WINDOW_1H_US).write.mode("overwrite").parquet(t3_path)
+    t_rollup = time.perf_counter() - t0
+
+    # deterministic content hash of every tier (order-insensitive)
+    hashes = {}
+    for name, path in [("tier1", t1_path), ("tier2", t2_path), ("tier3", t3_path)]:
+        df = spark.read.parquet(path)
+        cols = [c for c in sorted(df.columns)]
+        h = df.select(
+            F.sum(F.xxhash64(*cols)).alias("h"), F.count("*").alias("n")
+        ).collect()[0]
+        hashes[name] = (int(h.h) if h.h is not None else 0, int(h.n))
+
+    if keep_tables is None:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "n_tokens": n_tokens,
+        "t_flush": t_flush,
+        "t_rollup": t_rollup,
+        "bytes_raw": bytes_raw,
+        "bytes_compressed": bytes_comp,
+        "inversions": inversions,
+        "tier_hashes": hashes,
+        "tokens_per_sec": n_tokens / (t_flush + t_rollup),
+    }
+
+
+def gorilla_pass(spark, n_docs: int, seed: int = 42) -> dict:
+    """Distributed Gorilla/dod encode of the corpus; raw-GB/s through the
+    value kernel (compression wall includes seriesization, excludes IO)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from sorting_compressed_time_series_spark.codecs.bitpacked import (
+        dod_encode,
+        gorilla_encode_longs,
+    )
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tok = b.column("tokens")
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            # one stream per Arrow batch: the whole batch's values through the
+            # Gorilla kernel, its synthetic timestamps through delta-of-delta
+            # (pure kernel throughput; per-doc chunking is the flush path)
+            ts = np.cumsum((flat & 1023) + 1)
+            t0 = time.perf_counter_ns()
+            total_out = len(gorilla_encode_longs(flat.view(np.uint64)))
+            total_out += len(dod_encode(ts))
+            dt = time.perf_counter_ns() - t0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(len(flat))], type=pa.int64()),
+                    pa.array([total_out], type=pa.int64()),
+                    pa.array([dt], type=pa.int64()),
+                ],
+                names=["n_vals", "out_bytes", "ns"],
+            )
+
+    toks = generate_tokens_df(spark, n_docs, seed)
+    t0 = time.perf_counter()
+    rows = toks.mapInArrow(kern, schema="n_vals long, out_bytes long, ns long").groupBy().sum().collect()[0]
+    wall = time.perf_counter() - t0
+    n_vals, out_bytes, kernel_ns = int(rows[0]), int(rows[1]), int(rows[2])
+    return {
+        "gorilla_values": n_vals,
+        "gorilla_ratio": out_bytes / (16 * n_vals) if n_vals else None,
+        "gorilla_gbps_wall": 8 * n_vals / wall / 1e9,
+        "gorilla_gbps_kernel_percore": 8 * n_vals / max(kernel_ns, 1) * 1e9 / 1e9,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = 0.1
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if m:
+        sf = float(m.group(1))
+    bench_docs = max(500, int(200_000 * sf))
+
+    result: dict = {"metric": "tokens_per_sec_encode_rollup", "unit": "tokens/sec", "sf": sf}
+
+    spark = _fresh_spark(cpus)
+    head = headline(spark, bench_docs)
+    result["value"] = round(head["tokens_per_sec"])
+    result["headline"] = {
+        k: (round(v, 3) if isinstance(v, float) else v)
+        for k, v in head.items()
+        if k != "tier_hashes"
+    }
+    result["compression_ratio"] = round(head["bytes_compressed"] / head["bytes_raw"], 4)
+    result.update({k: round(v, 4) if isinstance(v, float) else v
+                   for k, v in gorilla_pass(spark, max(bench_docs // 4, 500)).items()})
+
+    # per-query timings
+    qtimes: dict[str, float] = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        from sorting_compressed_time_series_spark.queries import SPARK_QUERIES
+
+        for name, fn in SPARK_QUERIES.items():
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                qtimes[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                qtimes[name] = -1.0
+                print(f"query {name} failed: {e}", file=sys.stderr)
+    result["queries"] = qtimes
+    spark.stop()
+
+    # scaling: N/4 vs N cores, identical input, identical outputs required
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        lo_cores = max(cpus // 4, 2)
+        runs = {}
+        for c in (lo_cores, cpus):
+            s = _fresh_spark(c)
+            runs[c] = headline(s, bench_docs)
+            s.stop()
+        thr_lo = runs[lo_cores]["tokens_per_sec"]
+        thr_hi = runs[cpus]["tokens_per_sec"]
+        result["scaling"] = {
+            "cores_lo": lo_cores,
+            "cores_hi": cpus,
+            "tokens_per_sec_lo": round(thr_lo),
+            "tokens_per_sec_hi": round(thr_hi),
+            "efficiency": round((thr_hi / thr_lo) / (cpus / lo_cores), 3),
+            "tier_outputs_identical": runs[lo_cores]["tier_hashes"] == runs[cpus]["tier_hashes"],
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

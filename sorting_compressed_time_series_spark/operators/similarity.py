@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (array<float>).
+
+- `brute_force_topk`: exact cosine top-k. Query vectors are broadcast as a
+  numpy matrix; each Arrow batch of the corpus does ONE matrix multiply
+  against all queries (vectorized across batch × queries), then a global
+  per-query top-k. This is the scale baseline: O(corpus × queries) flops
+  but a single pass over the corpus, no shuffle until the tiny candidate
+  set.
+- `lsh_topk`: random-hyperplane LSH — sign-bit bucket per vector, probe
+  same-bucket (and optionally 1-bit-flip) candidates, exact rerank. The
+  100 TB path: candidate generation is a bucket equi-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions.hashing import splitmix64
+
+
+def _emb_matrix(batch_col) -> np.ndarray:
+    arr = batch_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(-1, dim)
+
+
+def _scores_df(emb: DataFrame, queries: np.ndarray, query_ids: np.ndarray) -> DataFrame:
+    qm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bq = spark.sparkContext.broadcast((qm, query_ids))
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        qmat, qids = bq.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _emb_matrix(b.column("embedding"))
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mn = m / norms
+            scores = mn @ qmat.T  # (batch, n_queries)
+            vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            nq = len(qids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(qids, len(vec_ids))),
+                    pa.array(np.tile(vec_ids, nq)),
+                    pa.array(scores.T.reshape(-1)),
+                ],
+                names=["query_id", "neighbor_id", "score"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kern, schema="query_id bigint, neighbor_id bigint, score double"
+    )
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact cosine top-k of the first ``n_queries`` vec_ids against the
+    whole corpus (self excluded). Deterministic rank tie-break by id."""
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qm = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
+    scored = _scores_df(emb, qm, qids).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes from splitmix64 counters."""
+    h = splitmix64(np.arange(n_bits * dim * 2, dtype=np.uint64) + np.uint64(seed * 10_000_019))
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    u = u.reshape(2, n_bits, dim)
+    # Box–Muller
+    eps = 1e-12
+    g = np.sqrt(-2 * np.log(u[0] + eps)) * np.cos(2 * np.pi * u[1])
+    return g
+
+
+def lsh_buckets(emb: DataFrame, n_bits: int = 8, seed: int = 7) -> DataFrame:
+    """Sign-bit bucket id per vector (random hyperplane LSH)."""
+    dim = len(emb.select("embedding").first()[0])
+    planes = hyperplanes(dim, n_bits, seed)
+    spark = emb.sparkSession
+    bp = spark.sparkContext.broadcast(planes)
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pl = bp.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _emb_matrix(b.column("embedding"))
+            signs = (m @ pl.T) > 0
+            bucket = np.zeros(len(m), dtype=np.int64)
+            for j in range(signs.shape[1]):
+                bucket |= signs[:, j].astype(np.int64) << j
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(bucket)],
+                names=["vec_id", "bucket"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kern, schema="vec_id bigint, bucket bigint"
+    )
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             n_bits: int = 6, seed: int = 7) -> DataFrame:
+    """Approximate top-k: same-bucket candidates, exact cosine rerank.
+    Returns (query_id, neighbor_id, rank) within the probed bucket."""
+    buckets = lsh_buckets(emb, n_bits, seed)
+    withb = emb.join(buckets, "vec_id")
+    q = withb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    cand = q.join(withb, "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    scored = cand.withColumn("score", dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

@@ -860,3 +860,293 @@ def ttl_filter(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count("*").alias("cnt_kept"), F.min("ts_us").alias("oldest"))
     )
+
+
+# -- training-data pipeline ops (documents / embeddings) ----------------------
+
+from .operators import dedup as DD  # noqa: E402
+from .operators import multimodal as MM  # noqa: E402
+from .operators import similarity as SIM  # noqa: E402
+from .operators import textstats as TXT  # noqa: E402
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY {_NORM_SQL}
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: normalized-text hash groupBy, keep smallest id."""
+    return DD.exact_dedup(_documents(spark, sf_dir))
+
+
+@q(
+    "dedup_jaccard_3gram",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM w
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb, count(*) AS inter
+      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT a, b, round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
+    FROM pairs WHERE inter * 1.0 / (sza + szb - inter) >= 0.2
+    """,
+)
+def dedup_jaccard_3gram(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (word 3-grams, τ=0.2):
+    shingle-explode self-join, no UDFs."""
+    out = DD.jaccard_pairs(_documents(spark, sf_dir), n=3, tau=0.2)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("dedup_minhash_lsh")  # rows-only: xxhash64 permutations aren't SQL-portable
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(32 perms) + LSH(8 bands) candidate pairs with estimated
+    Jaccard — the linear-time scale path for near-dup at 10^12 docs.
+    Deterministic; its quality oracle (recall vs exact Jaccard) is
+    tests/test_training_ops.py."""
+    out = DD.minhash_lsh_candidates(_documents(spark, sf_dir), num_perm=32, bands=8)
+    return out.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@q("dedup_simhash")  # rows-only: bit-level xxhash64 aggregation
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (sign-aggregated word hashes)."""
+    return DD.simhash(_documents(spark, sf_dir))
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_inner_product(q.qe::DOUBLE[], e.embedding::DOUBLE[]) /
+               (sqrt(list_inner_product(q.qe::DOUBLE[], q.qe::DOUBLE[])) *
+                sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS score
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 vectors: broadcast query
+    matrix, one matmul per Arrow batch, global top-k. Rank output (scores
+    are float-order-sensitive; ranks are stable)."""
+    return SIM.brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
+
+
+@q("ann_lsh_topk")  # rows-only: bucket membership isn't SQL-portable
+def ann_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH bucketing + exact rerank within bucket — the
+    approximate scale path; recall oracle in tests/test_training_ops.py."""
+    return SIM.lsh_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_bits=6)
+
+
+@q(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split({_NORM_SQL}, ' ')) AS n_words,
+           CAST(floor(length(trim(text)) / 4) AS BIGINT) AS n_bpe_est,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting: whitespace words + chars/4 BPE-unit estimate."""
+    return TXT.token_count(_documents(spark, sf_dir))
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(ws)) * 1.0 / len(ws))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text)),
+             6) AS quality
+    FROM b
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality score: length saturation + vocab diversity + alnum density."""
+    return TXT.quality_score(_documents(spark, sf_dir))
+
+
+@q(
+    "text_language_id",
+    f"""
+    WITH b AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+    h AS (
+      SELECT doc_id,
+             len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','it'))) AS en_hits,
+             len(list_filter(ws, w -> w IN ('el','la','de','y','que','en','un','es'))) AS es_hits
+      FROM b
+    )
+    SELECT doc_id,
+           CASE WHEN en_hits >= 2 AND en_hits >= es_hits THEN 'en'
+                WHEN es_hits >= 2 AND es_hits > en_hits THEN 'es'
+                ELSE 'unk' END AS pred_lang,
+           en_hits
+    FROM h
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Language ID via stopword-hit argmax."""
+    return TXT.language_id(_documents(spark, sf_dir))
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split({_NORM_SQL}, ' '),
+                              w -> CAST(length(w) * 131 + coalesce(ascii(w[1]), 0) AS BIGINT))),
+             (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial hash over the word stream (order-sensitive
+    content fingerprint)."""
+    return TXT.fingerprint(_documents(spark, sf_dir))
+
+
+@q(
+    "multimodal_binary_stats",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(text[1]) AS first_byte,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, octet_length(encode(text)) + 1),
+                               i -> CAST(ascii(text[i]) AS BIGINT))), (a, x) -> a + x)
+                % 1000000007 AS BIGINT) AS byte_checksum
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + Arrow-buffer
+    feature kernel (byte stats as the deterministic stand-in for media
+    decode; the real decode is stubbed per environment constraints)."""
+    payload = MM.to_binary_payload(_documents(spark, sf_dir))
+    return MM.binary_stats(payload)
+
+
+# -- the flagship tokens pipeline (deterministic synthetic input; rows-only:
+#    the generator cannot run inside DuckDB — exact-equality oracles live in
+#    tests/test_pipeline_e2e.py) -------------------------------------------
+
+from .operators.ingest import flush as _flush  # noqa: E402
+from .sources.synth import generate_tokens_df as _gen_tokens  # noqa: E402
+
+WINDOW_1S_US = 1_000_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.01
+
+
+def _tokens_docs(sf_dir: str) -> int:
+    return max(200, int(50_000 * _sf_of(sf_dir)))
+
+
+@q("tokens_pipeline_tiers")
+def tokens_pipeline_tiers(spark, sf_dir):
+    """Flagship: synth tokens → seriesize → flush (sort + compress) →
+    tier1(1s) → tier2(1m) continuous aggregates. Output = tier2 rows."""
+    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
+    chunks = _flush(toks)
+    t1 = rollup_tier1(chunks, WINDOW_1S_US)
+    return with_avg(promote(t1, US_1M))
+
+
+@q("tokens_roundtrip_check")
+def tokens_roundtrip_check(spark, sf_dir):
+    """Self-verifying per-row invariant (BASELINE.json input_hint): decoded
+    chunk contents must reproduce each doc's token array (count/sum/min/max
+    and the full multiset via a order-insensitive xor-checksum). The
+    ``match`` column must be uniformly true."""
+    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
+    chunks = _flush(toks)
+    pts = decode_points(chunks)
+    got = pts.groupBy("doc_id").agg(
+        F.count("*").alias("n_dec"),
+        F.sum("value").alias("s_dec"),
+        F.sum(F.xxhash64("value")).alias("x_dec"),
+    )
+    want = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_in"),
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("s_in"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + F.xxhash64(x.cast("long"))
+        ).alias("x_in"),
+    )
+    j = got.join(want, "doc_id")
+    return j.select(
+        "doc_id",
+        "n_dec",
+        "s_dec",
+        (
+            (F.col("n_dec") == F.col("n_in"))
+            & (F.col("s_dec") == F.col("s_in"))
+            & (F.col("x_dec") == F.col("x_in"))
+        ).alias("match"),
+    )
+
+
+@q("tokens_compression_metrics")
+def tokens_compression_metrics(spark, sf_dir):
+    """Per-source lineage + metrics rollup from the chunk table: compression
+    ratio, inversion counts, encode cost — the per-partition metrics the
+    north rule requires, aggregated with a salted two-phase groupBy (the
+    ``source`` column is 70% 'web': salt first, merge after)."""
+    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
+    chunks = _flush(toks)
+    # two-phase salted aggregation: partial by (source, salt), final by source
+    salted = chunks.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    partial = salted.groupBy("source", "salt").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("count").alias("n_points"),
+        F.sum("bytes_raw").alias("bytes_raw"),
+        F.sum(F.col("bytes_time") + F.col("bytes_value")).alias("bytes_compressed"),
+        F.sum("n_inversions").alias("inversions"),
+        F.sum("encode_ns").alias("encode_ns"),
+    )
+    final = partial.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_points").alias("n_points"),
+        F.sum("bytes_raw").alias("bytes_raw"),
+        F.sum("bytes_compressed").alias("bytes_compressed"),
+        F.sum("inversions").alias("inversions"),
+        F.sum("encode_ns").alias("encode_ns"),
+    )
+    return final.withColumn(
+        "ratio", F.round(F.col("bytes_compressed") / F.col("bytes_raw"), 4)
+    )
