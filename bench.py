@@ -82,7 +82,8 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
         df = spark.read.parquet(path)
         cols = [c for c in sorted(df.columns)]
         h = df.select(
-            F.sum(F.xxhash64(*cols)).alias("h"), F.count("*").alias("n")
+            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("h"),
+            F.count("*").alias("n"),
         ).collect()[0]
         hashes[name] = (int(h.h) if h.h is not None else 0, int(h.n))
 

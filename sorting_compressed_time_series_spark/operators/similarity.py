@@ -123,15 +123,30 @@ def lsh_buckets(emb: DataFrame, n_bits: int = 8, seed: int = 7) -> DataFrame:
 
 
 def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
-             n_bits: int = 6, seed: int = 7) -> DataFrame:
-    """Approximate top-k: same-bucket candidates, exact cosine rerank.
-    Returns (query_id, neighbor_id, rank) within the probed bucket."""
+             n_bits: int = 6, seed: int = 7, probe_radius: int = 1) -> DataFrame:
+    """Approximate top-k: bucket candidates + exact cosine rerank.
+    Multi-probe: each query also probes buckets within hamming distance
+    ``probe_radius`` of its own (near-boundary neighbors land one sign flip
+    away — multi-probe recovers most of the recall a single bucket loses).
+    Returns (query_id, neighbor_id, rank) within the probed buckets."""
     buckets = lsh_buckets(emb, n_bits, seed)
     withb = emb.join(buckets, "vec_id")
-    q = withb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "bucket",
+    probe_deltas = [0]
+    if probe_radius >= 1:
+        probe_deltas += [1 << j for j in range(n_bits)]
+    if probe_radius >= 2:
+        probe_deltas += [
+            (1 << i) | (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)
+        ]
+    q = (
+        withb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(d)) for d in probe_deltas])
+            ).alias("bucket"),
+        )
     )
     cand = q.join(withb, "bucket").filter(F.col("vec_id") != F.col("query_id"))
     dot = F.aggregate(

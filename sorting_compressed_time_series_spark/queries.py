@@ -956,7 +956,7 @@ def ann_cosine_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH bucketing + exact rerank within bucket — the
     approximate scale path; recall oracle in tests/test_training_ops.py."""
-    return SIM.lsh_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_bits=6)
+    return SIM.lsh_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_bits=6, probe_radius=2)
 
 
 @q(
@@ -1098,14 +1098,17 @@ def tokens_roundtrip_check(spark, sf_dir):
     got = pts.groupBy("doc_id").agg(
         F.count("*").alias("n_dec"),
         F.sum("value").alias("s_dec"),
-        F.sum(F.xxhash64("value")).alias("x_dec"),
+        # multiset hash: bounded sum of hashes (XOR would cancel duplicate
+        # token values); 2^40-bounded terms cannot overflow under ANSI mode
+        F.sum(F.pmod(F.xxhash64("value"), F.lit(2**40))).alias("x_dec"),
     )
     want = toks.select(
         "doc_id",
         F.size("tokens").alias("n_in"),
         F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("s_in"),
         F.aggregate(
-            "tokens", F.lit(0).cast("long"), lambda a, x: a + F.xxhash64(x.cast("long"))
+            "tokens", F.lit(0).cast("long"),
+            lambda a, x: a + F.pmod(F.xxhash64(x.cast("long")), F.lit(2**40)),
         ).alias("x_in"),
     )
     j = got.join(want, "doc_id")

@@ -1,0 +1,92 @@
+"""Training-data pipeline operator oracles that SQL can't express:
+MinHash-LSH recall vs exact Jaccard, SimHash hamming locality, LSH-ANN
+recall vs brute force, multimodal stub behavior."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sorting_compressed_time_series_spark.operators import dedup as DD
+from sorting_compressed_time_series_spark.operators import multimodal as MM
+from sorting_compressed_time_series_spark.operators import similarity as SIM
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # add exact-duplicate and near-duplicate planted pairs
+    dup = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra trailing words here")))
+    )
+    return base.unionByName(dup).unionByName(near).cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    out = DD.exact_dedup(docs).toPandas()
+    assert (out.n_dups >= 2).sum() >= 5
+    assert out.n_dups.sum() == docs.count()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = DD.jaccard_pairs(docs, n=3, tau=0.6).toPandas()
+    cand = DD.minhash_lsh_candidates(docs, num_perm=32, bands=16, n=3).toPandas()
+    cand_pairs = set(zip(cand.a, cand.b))
+    exact_pairs = set(zip(exact.a, exact.b))
+    assert exact_pairs, "planted near-dups must produce high-jaccard pairs"
+    recall = len(exact_pairs & cand_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_minhash_estimates_track_jaccard(spark, docs):
+    exact = DD.jaccard_pairs(docs, n=3, tau=0.3).toPandas().set_index(["a", "b"])
+    est = DD.minhash_lsh_candidates(docs, num_perm=32, bands=16, n=3).toPandas().set_index(["a", "b"])
+    joined = exact.join(est, how="inner")
+    assert len(joined) > 0
+    err = (joined.jaccard - joined.est_jaccard).abs().mean()
+    assert err < 0.25, f"minhash estimate error {err}"
+
+
+def test_simhash_locality(spark, docs):
+    fp = DD.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    base_ids = sorted(fp.index[fp.index < 100000])[:5]
+    near = [hamming(fp[i], fp[i + 200000]) for i in base_ids if i + 200000 in fp.index]
+    rng = np.random.default_rng(1)
+    ids = fp.index.to_numpy()
+    rand = [
+        hamming(fp[a], fp[b])
+        for a, b in zip(rng.choice(ids, 40), rng.choice(ids, 40))
+        if a != b
+    ]
+    assert np.mean(near) < np.mean(rand), (np.mean(near), np.mean(rand))
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = SIM.brute_force_topk(emb, n_queries=10, k=5).toPandas()
+    lsh = SIM.lsh_topk(emb, n_queries=10, k=20, n_bits=6, probe_radius=2).toPandas()
+    bf_pairs = set(zip(bf.query_id, bf.neighbor_id))
+    lsh_pairs = set(zip(lsh.query_id, lsh.neighbor_id))
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    # 6-bit multi-probe (radius 2) on 64-dim random vectors: probes cover
+    # ~22/64 buckets; high-cosine neighbors concentrate in the near buckets
+    assert recall >= 0.5, f"ANN LSH recall {recall}"
+
+
+def test_multimodal_stub_and_plumbing(spark, docs):
+    payload = MM.to_binary_payload(docs)
+    stats = MM.binary_stats(payload).toPandas()
+    want = docs.select("doc_id", F.length(F.encode("text", "utf-8")).alias("n")).toPandas()
+    merged = stats.merge(want, on="doc_id")
+    assert (merged.n_bytes == merged.n).all()
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(payload)
