@@ -1,0 +1,107 @@
+"""Physical-plan audits: the scale properties the engine is designed around
+must be visible in the executed plan, not just hoped for.
+
+- column pruning: stats-only rollup must scan ONLY stats columns (no blobs);
+- predicate pushdown: filters reach the parquet scan as PushedFilters;
+- broadcast: the TTL scalar join must be a BroadcastExchange/Join, never a
+  sort-merge join on a 1-row side;
+- whole-stage codegen: pure-SQL operators stay inside codegen'd stages;
+- partition pruning: warehouse p_day filter prunes at the directory level.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stats_rollup_prunes_blob_columns(spark, tmp_path):
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.operators.rollup import rollup_from_stats
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    path = str(tmp_path / "chunks")
+    flush(generate_tokens_df(spark, 50)).write.parquet(path)
+    chunks = spark.read.parquet(path)
+    plan = plan_of(rollup_from_stats(chunks))
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema, plan
+    assert "time_blob" not in scan_schema[0], scan_schema[0]
+    assert "value_blob" not in scan_schema[0], scan_schema[0]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter(F.col("value") > 100).select("event_id", "value")
+    plan = plan_of(q)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThan(value,100.0)" in pushed[0], plan
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert "event_type" not in rs[0], rs[0]  # column pruning too
+
+
+def test_ttl_scalar_join_is_broadcast(spark):
+    from sorting_compressed_time_series_spark.queries import ttl_filter
+
+    plan = plan_of(ttl_filter(spark, SF), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rollup_cascade_has_single_shuffle_per_tier(spark, tmp_path):
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.operators.rollup import (
+        WINDOW_1M_US,
+        promote,
+        rollup_tier1,
+    )
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    path = str(tmp_path / "chunks")
+    flush(generate_tokens_df(spark, 50)).write.parquet(path)
+    chunks = spark.read.parquet(path)
+    t1 = rollup_tier1(chunks, 1_000_000)
+    plan = plan_of(t1, mode="simple")
+    # partial+final HashAggregate around exactly one exchange
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan
+    t2 = promote(t1, WINDOW_1M_US)
+    plan2 = plan_of(t2, mode="simple")
+    assert plan2.count("Exchange hashpartitioning") == 2, plan2  # t1's + t2's
+
+
+def test_pure_sql_operators_are_codegened(spark):
+    from sorting_compressed_time_series_spark.queries import transform_filter_project
+
+    plan = plan_of(transform_filter_project(spark, SF), mode="codegen")
+    assert "Found 1 WholeStageCodegen" in plan, plan.splitlines()[0]
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    from sorting_compressed_time_series_spark.sources.warehouse import Warehouse, with_p_day
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 10 * 86_400_000_000).alias("window_start"),
+    )
+    wh.write(with_p_day(df), "t", partition_by=("p_day",))
+    back = wh.read(spark, "t").filter(F.col("p_day") >= 7)
+    plan = plan_of(back)
+    # partition filters appear as PartitionFilters on the scan, and the
+    # pruned scan reads 3 of 10 directories
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "p_day" in pf[0], plan
+    assert back.count() == 300
