@@ -37,6 +37,16 @@ def _fresh_spark(cores: int):
     return get_spark(app=f"bench{cores}", cores=cores, shuffle_partitions=max(cores, 8))
 
 
+def _warmup(spark) -> None:
+    """Fork python workers, JIT the codegen paths, touch parquet IO once —
+    so the timed sections measure the pipeline, not session cold-start."""
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    n = spark.sparkContext.defaultParallelism * 20
+    flush(generate_tokens_df(spark, n)).write.mode("overwrite").format("noop").save()
+
+
 def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None):
     """Run the full pipeline; return dict of stage walls + table hashes."""
     from pyspark.sql import functions as F
@@ -162,11 +172,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if m:
         sf = float(m.group(1))
-    bench_docs = max(500, int(200_000 * sf))
+    bench_docs = int(os.environ.get("BENCH_DOCS", max(2000, int(1_000_000 * sf))))
 
     result: dict = {"metric": "tokens_per_sec_encode_rollup", "unit": "tokens/sec", "sf": sf}
 
     spark = _fresh_spark(cpus)
+    _warmup(spark)
     head = headline(spark, bench_docs)
     result["value"] = round(head["tokens_per_sec"])
     result["headline"] = {
@@ -176,7 +187,7 @@ def main() -> None:
     }
     result["compression_ratio"] = round(head["bytes_compressed"] / head["bytes_raw"], 4)
     result.update({k: round(v, 4) if isinstance(v, float) else v
-                   for k, v in gorilla_pass(spark, max(bench_docs // 4, 500)).items()})
+                   for k, v in gorilla_pass(spark, bench_docs).items()})
 
     # per-query timings
     qtimes: dict[str, float] = {}
@@ -200,6 +211,7 @@ def main() -> None:
         runs = {}
         for c in (lo_cores, cpus):
             s = _fresh_spark(c)
+            _warmup(s)
             runs[c] = headline(s, bench_docs)
             s.stop()
         thr_lo = runs[lo_cores]["tokens_per_sec"]

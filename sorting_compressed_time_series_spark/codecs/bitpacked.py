@@ -367,3 +367,89 @@ def gorilla_encode_doubles(values: np.ndarray) -> bytes:
 
 def gorilla_decode_doubles(blob: bytes | np.ndarray) -> np.ndarray:
     return gorilla_decode_longs(blob).view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# TS_2DIFF (block min-delta, fixed width per block)
+# ---------------------------------------------------------------------------
+
+# Re-expresses IoTDB's TS_2DIFF (reference DeltaBinaryEncoder,
+# tsfile/.../encoder/DeltaBinaryEncoder.java:46-129): deltas are grouped in
+# blocks of 128; each block stores (min_delta, bit_width) and packs
+# (delta - min_delta) at the block's fixed width. Fixed width per block is
+# what makes this the FASTEST codec here: pack/unpack stay on the pow2/
+# reduceat fast paths and there is no per-element class decision chain.
+# Layout: u32 count | i64 first | per block: [i64 min_delta | u8 width |
+# ceil(128*width/8) payload bytes] (last block truncated).
+
+TS2DIFF_BLOCK = 128
+
+
+def ts2diff_encode(values: np.ndarray) -> bytes:
+    v = np.asarray(values, dtype=np.int64)
+    n = len(v)
+    head = np.array([n], dtype="<u4").tobytes()
+    if n == 0:
+        return head
+    first = v[0:1].astype("<i8").tobytes()
+    if n == 1:
+        return head + first
+    d = np.diff(v)
+    m = len(d)
+    n_blocks = (m + TS2DIFF_BLOCK - 1) // TS2DIFF_BLOCK
+    pad = n_blocks * TS2DIFF_BLOCK - m
+    dp = np.concatenate([d, np.zeros(pad, dtype=np.int64)]).reshape(
+        n_blocks, TS2DIFF_BLOCK
+    )
+    if pad:
+        dp[-1, TS2DIFF_BLOCK - pad :] = dp[-1, 0]  # pad with a real delta
+    mins = dp.min(axis=1)
+    rel = (dp - mins[:, None]).astype(np.uint64)
+    maxs = rel.max(axis=1)
+    widths = np.zeros(n_blocks, dtype=np.int64)
+    nzb = maxs > 0
+    widths[nzb] = _bitlen_u64(maxs[nzb])
+    # block table: [min i64 | width u8] per block, then ONE payload plane —
+    # per-element widths = repeat(block width); single pack_bits call
+    counts = np.full(n_blocks, TS2DIFF_BLOCK, dtype=np.int64)
+    if pad:
+        counts[-1] -= pad
+    keep = np.repeat(np.arange(n_blocks), TS2DIFF_BLOCK)
+    keep_mask = (np.arange(n_blocks * TS2DIFF_BLOCK) % TS2DIFF_BLOCK) < counts[keep]
+    flat_rel = rel.reshape(-1)[keep_mask]
+    flat_w = np.repeat(widths, counts)
+    payload = pack_bits(flat_rel, flat_w)
+    table = np.zeros(n_blocks * 9, dtype=np.uint8)
+    table.reshape(n_blocks, 9)[:, :8] = mins.astype("<i8").view(np.uint8).reshape(n_blocks, 8)
+    table.reshape(n_blocks, 9)[:, 8] = widths.astype(np.uint8)
+    return head + first + table.tobytes() + payload.tobytes()
+
+
+def ts2diff_decode(blob: bytes | np.ndarray) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[:4].view("<u4")[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    first = int(buf[4:12].view("<i8")[0])
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    m = n - 1
+    n_blocks = (m + TS2DIFF_BLOCK - 1) // TS2DIFF_BLOCK
+    table = buf[12 : 12 + 9 * n_blocks].reshape(n_blocks, 9)
+    mins = np.ascontiguousarray(table[:, :8]).view("<i8").reshape(-1)
+    widths = table[:, 8].astype(np.int64)
+    counts = np.full(n_blocks, TS2DIFF_BLOCK, dtype=np.int64)
+    counts[-1] = m - TS2DIFF_BLOCK * (n_blocks - 1)
+    flat_w = np.repeat(widths, counts)
+    rel = unpack_bits(buf[12 + 9 * n_blocks :], flat_w)
+    deltas = rel.view(np.int64) + np.repeat(mins, counts)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    np.cumsum(deltas, out=out[1:])
+    out[1:] += first
+    return out
+
+
+def _bitlen_u64(x: np.ndarray) -> np.ndarray:
+    """bit length of positive uint64 values (vectorized)."""
+    return 64 - _clz64(x)

@@ -26,6 +26,8 @@ import numpy as np
 
 from .bitpacked import (
     dod_decode,
+    ts2diff_decode,
+    ts2diff_encode,
     dod_encode,
     gorilla_decode_doubles,
     gorilla_decode_longs,
@@ -47,6 +49,7 @@ CODEC_VARINT = 2
 CODEC_DOD = 3
 CODEC_GORILLA = 4
 CODEC_GORILLA_F64 = 5
+CODEC_TS2DIFF = 6
 
 _HEADER = 4  # magic(2) + version(1) + codec(1)
 
@@ -92,6 +95,8 @@ def encode_chunk(values: np.ndarray, codec: int) -> bytes:
             np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)))
     if codec == CODEC_GORILLA_F64:
         return _wrap(codec, gorilla_encode_doubles(values))
+    if codec == CODEC_TS2DIFF:
+        return _wrap(codec, ts2diff_encode(values))
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -108,6 +113,8 @@ def decode_chunk(blob: bytes | memoryview) -> np.ndarray:
         return gorilla_decode_longs(body).view(np.int64)
     if codec == CODEC_GORILLA_F64:
         return gorilla_decode_doubles(body)
+    if codec == CODEC_TS2DIFF:
+        return ts2diff_decode(body)
     raise ValueError(f"unknown codec {codec}")
 
 

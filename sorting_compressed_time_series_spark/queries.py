@@ -1153,3 +1153,113 @@ def tokens_compression_metrics(spark, sf_dir):
     return final.withColumn(
         "ratio", F.round(F.col("bytes_compressed") / F.col("bytes_raw"), 4)
     )
+
+
+# -- remaining operator surface: HAVING, UDAF, aligned scan, variation(delta),
+#    TS_2DIFF codec ------------------------------------------------------------
+
+from .codecs.chunk import CODEC_TS2DIFF  # noqa: E402
+from .operators.windows import variation_windows_delta  # noqa: E402
+
+
+@q(
+    "roundtrip_ts2diff",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id
+    FROM events
+    """,
+)
+def roundtrip_ts2diff(spark, sf_dir):
+    """TS_2DIFF (block min-delta, fixed width per block — reference
+    DeltaBinaryEncoder) end-to-end round trip on real series."""
+    chunks = _encode_user_series(
+        spark, sf_dir, value_expr="event_id", codec_pair=(CODEC_TS2DIFF, CODEC_VARINT)
+    )
+    return _decode_user_series(chunks, "event_id_out").select(
+        "user_id", "ts_us", F.col("event_id_out").alias("event_id")
+    )
+
+
+@q(
+    "having_filter",
+    f"""
+    WITH b AS (SELECT user_id, epoch_us(ts) // {US_1D} * {US_1D} AS h, {Q} AS q FROM events)
+    SELECT user_id, h, count(*) AS cnt, sum(q) AS sum_q
+    FROM b GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def having_filter(spark, sf_dir):
+    """GROUP BY ... HAVING (IoTDBSqlParser.g4:732-734): post-aggregation
+    predicate — a filter on the aggregated frame."""
+    ev = _events(spark, sf_dir)
+    h = (F.col("ts_us") / US_1D).cast("bigint") * US_1D
+    return (
+        ev.groupBy("user_id", h.alias("h"))
+        .agg(F.count("*").alias("cnt"), F.sum("q").alias("sum_q"))
+        .filter(F.col("cnt") >= 2)
+    )
+
+
+@q(
+    "udaf_median",
+    f"""
+    WITH b AS (SELECT user_id, {Q} AS q FROM events)
+    SELECT user_id, median(q) AS med_q FROM b GROUP BY 1
+    """,
+)
+def udaf_median(spark, sf_dir):
+    """Custom aggregate via a vectorized GROUPED_AGG pandas UDF (the
+    UDAFAccumulator surface, reference execution/aggregation/
+    UDAFAccumulator.java): exact median over the quantized values."""
+    @F.pandas_udf("double")
+    def med(v: pd.Series) -> float:  # GROUPED_AGG: Series -> scalar
+        return float(np.median(v.to_numpy(np.float64)))
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(med("q").alias("med_q"))
+
+
+@q(
+    "aligned_series_scan",
+    f"""
+    SELECT user_id, epoch_us(ts) AS ts_us, {Q} AS q, event_id
+    FROM events
+    """,
+)
+def aligned_series_scan(spark, sf_dir):
+    """AlignedSeriesScanOperator: one time plane shared by multiple value
+    planes — encode ts once, two value columns (q, event_id) as separate
+    varint planes, decode all three in lockstep."""
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "q", "event_id")
+
+    schema = "user_id bigint, ts_us bigint, q bigint, event_id bigint"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+        t = encode_chunk(pdf["ts_us"].to_numpy(np.int64), CODEC_DELTA)
+        v1 = encode_chunk(pdf["q"].to_numpy(np.int64), CODEC_VARINT)
+        v2 = encode_chunk(pdf["event_id"].to_numpy(np.int64), CODEC_VARINT)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "ts_us": decode_chunk(t),
+                "q": decode_chunk(v1),
+                "event_id": decode_chunk(v2),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
+
+
+@q("variation_window_delta")  # rows-only: anchored scan is not SQL-expressible
+def variation_window_delta(spark, sf_dir):
+    """General VariationWindow(delta): window breaks when |v - first_of_
+    window| > delta (reference window/VariationWindow) — sequential per
+    series, applyInPandas; delta=0 variant has a SQL oracle above."""
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "value")
+    out = variation_windows_delta(ev, "user_id", "ts_us", "value", delta=100.0)
+    return out.groupBy("user_id", "variation_group").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts_us").alias("start_ts"),
+        F.max("ts_us").alias("end_ts"),
+    )

@@ -214,3 +214,31 @@ def test_chunk_container_f64():
     v = rng.normal(size=4096)
     blob = encode_chunk(v, CODEC_GORILLA_F64)
     assert np.array_equal(decode_chunk(blob), v)
+
+
+from sorting_compressed_time_series_spark.codecs.bitpacked import (
+    ts2diff_decode,
+    ts2diff_encode,
+)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 127, 128, 129, 1000, 100_000])
+def test_ts2diff_roundtrip(n):
+    rng = np.random.default_rng(n + 41)
+    for v in (
+        _sorted_ts(max(n, 1), rng)[:n],
+        rng.integers(-(10**9), 10**9, size=n).astype(np.int64),
+        np.arange(n, dtype=np.int64) * 50,
+    ):
+        assert np.array_equal(ts2diff_decode(ts2diff_encode(v)), v), n
+
+
+def test_ts2diff_extremes():
+    v = np.array([0, 2**62, -(2**62), 5, 5, 5], dtype=np.int64)
+    assert np.array_equal(ts2diff_decode(ts2diff_encode(v)), v)
+
+
+def test_ts2diff_compresses_regular():
+    v = np.arange(100_000, dtype=np.int64) * 1000
+    blob = ts2diff_encode(v)
+    assert len(blob) < 100_000 * 0.2  # constant deltas -> ~9B per block
