@@ -223,6 +223,11 @@ def main() -> None:
             "tokens_per_sec_hi": round(thr_hi),
             "efficiency": round((thr_hi / thr_lo) / (cpus / lo_cores), 3),
             "tier_outputs_identical": runs[lo_cores]["tier_hashes"] == runs[cpus]["tier_hashes"],
+            "stage_walls": {
+                str(c): {"t_flush": round(runs[c]["t_flush"], 2),
+                         "t_rollup": round(runs[c]["t_rollup"], 2)}
+                for c in runs
+            },
         }
 
     print(json.dumps(result))

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 
 from ..codecs.batched import encode_rows
 from ..codecs.chunk import CODEC_DELTA, CODEC_VARINT
-from ..sources.seriesize import synth_timestamps
+from ..sources.seriesize import doc_t0, synth_timestamps
 
 CHUNK_SCHEMA = (
     "doc_id string, source string, tier int, window_start bigint, "
@@ -120,7 +120,8 @@ def flush_kernel_batches(
         # --- seriesize ------------------------------------------------
         positions = np.arange(len(flat), dtype=np.int64) - np.repeat(row_starts, counts)
         flat_doc = np.repeat(doc_index, counts).astype(np.uint64)
-        ts = synth_timestamps(flat_doc, positions, seed)
+        t0 = np.repeat(doc_t0(doc_index.astype(np.uint64), seed), counts)
+        ts = synth_timestamps(flat_doc, positions, seed, t0=t0)
 
         # --- lineage: inversions in arrival order ----------------------
         inv = np.zeros(len(flat), dtype=np.int64)

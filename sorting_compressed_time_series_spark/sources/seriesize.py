@@ -24,21 +24,36 @@ OOO_RATE = 50  # 1-in-50 points displaced (2%, FIXTURES nearly_sorted regime)
 OOO_MAX_DISP = 40_000  # ≤ 40 steps backwards
 
 
+def doc_t0(doc_index: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Per-doc series start time (hash over the per-doc array, not per point)."""
+    return (
+        hash2(np.asarray(doc_index, dtype=np.uint64), 3, seed)
+        % np.uint64(86_400_000_000)
+    ).astype(np.int64) + EPOCH0
+
+
 def synth_timestamps(
-    doc_index: np.ndarray, positions: np.ndarray, seed: int = 42
+    doc_index: np.ndarray, positions: np.ndarray, seed: int = 42,
+    t0: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Event time for each (doc, position) pair (flat arrays)."""
+    """Event time for each (doc, position) pair (flat arrays).
+
+    One hash per point; jitter / OOO-flag / displacement come from disjoint
+    bit fields of the same 64-bit hash (the kernels are memory-bandwidth
+    bound at full parallelism — every avoided pass is throughput).
+    Pass ``t0`` (flat, from `doc_t0` repeated per point) to skip the
+    per-point t0 hash."""
     doc_index = np.asarray(doc_index, dtype=np.uint64)
     positions = np.asarray(positions, dtype=np.int64)
-    t0 = (hash2(doc_index, 3, seed) % np.uint64(86_400_000_000)).astype(np.int64) + EPOCH0
-    jitter = (hash2(doc_index << np.uint64(20), positions, seed + 9)
-              % np.uint64(STEP_US // 2)).astype(np.int64)
+    if t0 is None:
+        t0 = doc_t0(doc_index, seed)
+    h = hash2(doc_index << np.uint64(20), positions, seed + 9)
+    jitter = ((h & np.uint64(0xFFFF)) % np.uint64(STEP_US // 2)).astype(np.int64)
     ts = t0 + positions * STEP_US + jitter
-    h = hash2(doc_index << np.uint64(20), positions, seed + 11)
-    ooo = (h % np.uint64(OOO_RATE)) == 0
-    disp = (hash2(doc_index << np.uint64(20), positions, seed + 13)
-            % np.uint64(OOO_MAX_DISP)).astype(np.int64) + 1
-    ts[ooo & (positions > 0)] -= disp[ooo & (positions > 0)]
+    ooo = ((h >> np.uint64(16)) % np.uint64(OOO_RATE)) == 0
+    ooo &= positions > 0
+    disp = (((h >> np.uint64(32)) % np.uint64(OOO_MAX_DISP))).astype(np.int64) + 1
+    ts[ooo] -= disp[ooo]
     return ts
 
 
