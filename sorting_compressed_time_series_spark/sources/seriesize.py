@@ -19,9 +19,10 @@ import numpy as np
 from ..functions.hashing import hash2
 
 EPOCH0 = 1_700_000_000_000_000  # µs, fixed engine epoch
-STEP_US = 1_000  # nominal inter-point step
+STEP_US = 100_000  # nominal inter-point step (0.1 s): a 1024-token doc
+# spans ~100 s -> ~100 tier-1 (1 s) windows, ~2 tier-2 (1 m) windows
 OOO_RATE = 50  # 1-in-50 points displaced (2%, FIXTURES nearly_sorted regime)
-OOO_MAX_DISP = 40_000  # ≤ 40 steps backwards
+OOO_MAX_DISP = 4_000_000  # ≤ 40 steps backwards
 
 
 def doc_t0(doc_index: np.ndarray, seed: int = 42) -> np.ndarray:
