@@ -78,11 +78,20 @@ def encode_rows(
     pay_off[0] = 0
     np.cumsum(widths, out=pay_off[1:])
     payload = np.zeros(int(pay_off[-1]), dtype=np.uint8)
-    for b in range(8):
-        m = widths > b
-        if not m.any():
-            break
-        payload[pay_off[:-1][m] + b] = ((zz[m] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+    # index-set scatter: one flatnonzero per width tier instead of a full
+    # boolean pass per byte (the kernels are bandwidth-bound at 32 workers)
+    off0 = pay_off[:-1]
+    if len(widths):
+        payload[off0] = (zz & np.uint64(0xFF)).astype(np.uint8)
+        i2 = np.flatnonzero(widths > 1)
+        payload[off0[i2] + 1] = ((zz[i2] >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
+        i4 = i2[widths[i2] > 2]
+        for b in (2, 3):
+            payload[off0[i4] + b] = ((zz[i4] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+        i8 = i4[widths[i4] > 4]
+        if len(i8):
+            for b in range(4, 8):
+                payload[off0[i8] + b] = ((zz[i8] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
 
     # per-row-aligned 2-bit length plane: pad each row's codes to 4 elements
     padded_counts = (counts + 3) // 4 * 4
@@ -168,11 +177,18 @@ def decode_rows(
     payload = np.empty(int(pay_off[-1]), dtype=np.uint8)
     _block_copy(payload, pay_off[row_starts], buf, starts + _HDR + lens_len, pay_row_len)
     zz = np.zeros(total, dtype=np.uint64)
-    for b in range(8):
-        m = widths > b
-        if not m.any():
-            break
-        zz[m] |= payload[pay_off[:-1][m] + b].astype(np.uint64) << np.uint64(8 * b)
+    if total:
+        off0 = pay_off[:-1]
+        zz |= payload[off0]
+        i2 = np.flatnonzero(widths > 1)
+        zz[i2] |= payload[off0[i2] + 1].astype(np.uint64) << np.uint64(8)
+        i4 = i2[widths[i2] > 2]
+        for b in (2, 3):
+            zz[i4] |= payload[off0[i4] + b].astype(np.uint64) << np.uint64(8 * b)
+        i8 = i4[widths[i4] > 4]
+        if len(i8):
+            for b in range(4, 8):
+                zz[i8] |= payload[off0[i8] + b].astype(np.uint64) << np.uint64(8 * b)
 
     if codec == CODEC_VARINT:
         return unzigzag(zz), splits
