@@ -56,7 +56,7 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
         WINDOW_1H_US,
         WINDOW_1M_US,
         promote,
-        rollup_tier1,
+        tier1_from_flush,
     )
     from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
 
@@ -65,11 +65,12 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
 
     t0 = time.perf_counter()
     chunks_path = os.path.join(tmp, "chunks")
-    flush(toks, seed).write.mode("overwrite").parquet(chunks_path)
+    # fused path: tier-1 partials co-emitted by the flush kernel
+    flush(toks, seed, partial_window_us=1_000_000).write.mode("overwrite").parquet(chunks_path)
     t_flush = time.perf_counter() - t0
 
     chunks = spark.read.parquet(chunks_path)
-    agg = chunks.agg(
+    agg = chunks.filter(F.col("tier") == 0).agg(
         F.sum("count"), F.sum("bytes_raw"),
         F.sum(F.col("bytes_time") + F.col("bytes_value")), F.sum("n_inversions"),
     ).collect()[0]
@@ -77,7 +78,7 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
 
     t0 = time.perf_counter()
     t1_path = os.path.join(tmp, "tier1")
-    rollup_tier1(chunks, 1_000_000).write.mode("overwrite").parquet(t1_path)
+    tier1_from_flush(chunks).write.mode("overwrite").parquet(t1_path)
     tier1 = spark.read.parquet(t1_path)
     t2_path = os.path.join(tmp, "tier2")
     promote(tier1, WINDOW_1M_US).write.mode("overwrite").parquet(t2_path)

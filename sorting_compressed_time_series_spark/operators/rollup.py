@@ -146,6 +146,26 @@ def rollup_tier1(chunks_df: DataFrame, window_us: int = WINDOW_1M_US) -> DataFra
     return _finalize(partials)
 
 
+def tier1_from_flush(flush_df: DataFrame) -> DataFrame:
+    """Tier-1 from the partial rows the flush kernel co-emitted (tier = -1):
+    no decode, no Python — one groupBy over pre-reduced rows. This is the
+    fast path when ingest ran with ``partial_window_us``."""
+    partials = flush_df.filter(F.col("tier") == -1).select(
+        "doc_id",
+        "source",
+        "window_start",
+        F.col("count").cast("bigint").alias("cnt"),
+        "sum_v",
+        "min_v",
+        "max_v",
+        F.col("min_ts").alias("first_ts"),
+        "first_v",
+        F.col("max_ts").alias("last_ts"),
+        "last_v",
+    )
+    return _finalize(partials)
+
+
 def promote(tier_df: DataFrame, coarser_window_us: int) -> DataFrame:
     """tier k → tier k+1: pure DataFrame over pre-aggregated rows.
     No Python, no decode — this is the cheap cascade that makes multi-tier

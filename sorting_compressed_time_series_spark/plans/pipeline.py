@@ -26,6 +26,7 @@ from ..operators.rollup import (
     WINDOW_1M_US,
     promote,
     rollup_tier1,
+    tier1_from_flush,
 )
 from ..sources.warehouse import Warehouse, with_p_day
 
@@ -56,7 +57,9 @@ class Pipeline:
     # --- stage 1: ingest+flush ------------------------------------------
     def ingest(self, tokens_df: DataFrame, seed: int = 42,
                partitions: int | None = None) -> DataFrame:
-        chunks = flush(tokens_df, seed, partitions)
+        # co-emit tier-1 partials (tier = -1 rows) so promotion never decodes
+        chunks = flush(tokens_df, seed, partitions,
+                       partial_window_us=self.tiers[0].window_us)
         chunks = with_p_day(chunks, "window_start")
         max_ts = None
         self.warehouse.write(chunks, "chunks_tier0", partition_by=("p_day",),
@@ -70,7 +73,7 @@ class Pipeline:
         the immutable finer tier; the manifest watermark says where to
         resume. ``up_to_us`` caps promotion (for simulating partial runs)."""
         chunks = self.warehouse.read(self.spark, "chunks_tier0")
-        data_max = chunks.agg(F.max("max_ts")).collect()[0][0]
+        data_max = chunks.filter(F.col("tier") == 0).agg(F.max("max_ts")).collect()[0][0]
 
         prev_df = None
         for i, spec in enumerate(self.tiers):
@@ -85,7 +88,14 @@ class Pipeline:
                 prev_df = self.warehouse.read(self.spark, spec.name)
                 continue
             if i == 0:
-                fresh = rollup_tier1(chunks, spec.window_us)
+                has_partials = (
+                    chunks.filter(F.col("tier") == -1).limit(1).count() > 0
+                )
+                if has_partials:
+                    fresh = tier1_from_flush(chunks)
+                else:
+                    fresh = rollup_tier1(chunks.filter(F.col("tier") == 0),
+                                         spec.window_us)
             else:
                 fresh = promote(prev_df, spec.window_us)
             fresh = fresh.filter(F.col("window_start") < F.lit(complete))

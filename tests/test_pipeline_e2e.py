@@ -152,3 +152,20 @@ def test_stats_rollup_no_decode(spark, tokens, chunks):
     )
     assert np.array_equal(got["cnt"].to_numpy(), want["cnt"].to_numpy())
     assert np.array_equal(got["sum_v"].to_numpy(), want["sum_v"].to_numpy())
+
+
+def test_fused_partials_equal_decode_rollup(spark, tokens):
+    from sorting_compressed_time_series_spark.operators.rollup import tier1_from_flush
+
+    fused = flush(tokens, SEED, partial_window_us=WINDOW_1M_US)
+    got = tier1_from_flush(fused).toPandas().set_index(["doc_id", "window_start"]).sort_index()
+    chunks_only = fused.filter(F.col("tier") == 0)
+    want = (
+        rollup_tier1(chunks_only, WINDOW_1M_US)
+        .toPandas()
+        .set_index(["doc_id", "window_start"])
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    for col in ["cnt", "sum_v", "min_v", "max_v", "first_v", "last_v", "first_ts", "last_ts"]:
+        assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
