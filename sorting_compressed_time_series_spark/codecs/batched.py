@@ -139,10 +139,17 @@ def decode_rows(
     starts = bs[:-1]
     if n_rows == 0:
         return np.empty(0, np.int64), np.zeros(1, np.int64)
-    codec = int(buf[starts[0] + 3])
+    # rows with no/short blob (e.g. co-emitted partial rows) decode to empty
+    valid = np.diff(bs) >= _HDR
+    if not valid.any():
+        return np.empty(0, np.int64), np.zeros(n_rows + 1, np.int64)
+    safe_starts = np.where(valid, starts, starts[np.argmax(valid)])
+    codec = int(buf[safe_starts[np.argmax(valid)] + 3])
     counts = np.zeros(n_rows, dtype=np.int64)
     for b in range(4):
-        counts |= buf[starts + 4 + b].astype(np.int64) << (8 * b)
+        counts |= buf[safe_starts + 4 + b].astype(np.int64) << (8 * b)
+    counts[~valid] = 0
+    starts = safe_starts
     splits = np.empty(n_rows + 1, dtype=np.int64)
     splits[0] = 0
     np.cumsum(counts, out=splits[1:])

@@ -84,3 +84,24 @@ def test_empty_batch():
     buf, bsp = encode_rows(np.empty(0, np.int64), np.zeros(1, np.int64), CODEC_DELTA)
     flat, splits = decode_rows(buf, bsp)
     assert len(flat) == 0
+
+
+def test_decode_rows_skips_empty_blobs():
+    rng = np.random.default_rng(9)
+    rows = [rng.integers(-100, 100, size=rng.integers(1, 30)).astype(np.int64)
+            for _ in range(20)]
+    flat = np.concatenate(rows)
+    splits = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rows], out=splits[1:])
+    buf, bsp = encode_rows(flat, splits, CODEC_VARINT)
+    # interleave empty blobs (the fused flush table's partial rows)
+    blobs = []
+    for i in range(len(rows)):
+        blobs.append(buf[bsp[i]:bsp[i + 1]].tobytes())
+        blobs.append(b"")
+    mixed = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    msp = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=msp[1:])
+    back, bsplits = decode_rows(mixed, msp)
+    assert np.array_equal(back, flat)
+    assert list(np.diff(bsplits))[1::2] == [0] * len(rows)
