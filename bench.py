@@ -248,18 +248,27 @@ def main() -> None:
     result["queries"] = qtimes
     spark.stop()
 
-    # scaling: N/4 vs N cores, identical input, identical outputs required
+    # scaling: N/4 vs N cores, identical input, identical outputs required.
+    # The host shows CPU-steal bursts that can slow identical runs 5x
+    # (documented in BENCH.md); interleave lo/hi reps and take the
+    # per-config best — steal only ever subtracts throughput, so the
+    # per-config max is the least-biased estimator of the clean machine.
     if not os.environ.get("BENCH_SKIP_SCALING"):
         result["machine_parallel_ceiling"] = _machine_ceiling(cpus)
         lo_cores = max(cpus // 4, 2)
-        runs = {}
-        for c in (lo_cores, cpus):
-            s = _fresh_spark(c)
-            _warmup(s)
-            sdocs = int(os.environ.get("SCALING_DOCS", bench_docs * 2))
-            runs[c] = max((headline(s, sdocs) for _ in range(2)),
-                          key=lambda h: h["tokens_per_sec"])
-            s.stop()
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+        sdocs = int(os.environ.get("SCALING_DOCS", bench_docs * 2))
+        runs: dict = {}
+        all_thr: dict = {lo_cores: [], cpus: []}
+        for _rep in range(reps):
+            for c in (lo_cores, cpus):
+                s = _fresh_spark(c)
+                _warmup(s)
+                h = headline(s, sdocs)
+                s.stop()
+                all_thr[c].append(round(h["tokens_per_sec"]))
+                if c not in runs or h["tokens_per_sec"] > runs[c]["tokens_per_sec"]:
+                    runs[c] = h
         thr_lo = runs[lo_cores]["tokens_per_sec"]
         thr_hi = runs[cpus]["tokens_per_sec"]
         result["scaling"] = {
@@ -269,6 +278,7 @@ def main() -> None:
             "tokens_per_sec_hi": round(thr_hi),
             "efficiency": round((thr_hi / thr_lo) / (cpus / lo_cores), 3),
             "tier_outputs_identical": runs[lo_cores]["tier_hashes"] == runs[cpus]["tier_hashes"],
+            "all_rep_throughputs": all_thr,
             "stage_walls": {
                 str(c): {"t_flush": round(runs[c]["t_flush"], 2),
                          "t_rollup": round(runs[c]["t_rollup"], 2)}
