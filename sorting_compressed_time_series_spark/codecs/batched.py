@@ -52,7 +52,10 @@ def encode_rows(
     CODEC_VARINT. Returns (blob_buffer uint8, blob_splits int64[n_rows+1])
     ready to wrap as an Arrow binary array with zero copies.
     """
-    flat = np.ascontiguousarray(flat_values, dtype=np.int64)
+    use32 = codec == CODEC_VARINT and np.asarray(flat_values).dtype == np.int32
+    flat = np.ascontiguousarray(
+        flat_values, dtype=np.int32 if use32 else np.int64
+    )
     splits = np.ascontiguousarray(row_splits, dtype=np.int64)
     n_rows = len(splits) - 1
     counts = np.diff(splits)
@@ -67,6 +70,14 @@ def encode_rows(
         zz[nz_starts] = flat[nz_starts].view(np.uint64)
         codes = _classify(zz)
         codes[nz_starts] = 0
+    elif codec == CODEC_VARINT and use32:
+        # int32 fast path: half the memory traffic on zigzag/classify/emit
+        # (the kernels are bandwidth-bound at full worker concurrency);
+        # encoded bytes are identical to the int64 path by construction
+        zz = ((flat << 1) ^ (flat >> 31)).view(np.uint32)
+        codes = np.full(zz.shape, 3, dtype=np.uint8)  # <2^32 always
+        codes[zz < np.uint32(1 << 16)] = 2
+        codes[zz < np.uint32(1 << 8)] = 1
     elif codec == CODEC_VARINT:
         zz = zigzag(flat)
         codes = _classify(zz)
@@ -82,16 +93,17 @@ def encode_rows(
     # boolean pass per byte (the kernels are bandwidth-bound at 32 workers)
     off0 = pay_off[:-1]
     if len(widths):
-        payload[off0] = (zz & np.uint64(0xFF)).astype(np.uint8)
+        # plain-int shifts/masks keep the working dtype (uint32 fast path)
+        payload[off0] = (zz & 0xFF).astype(np.uint8)
         i2 = np.flatnonzero(widths > 1)
-        payload[off0[i2] + 1] = ((zz[i2] >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint8)
+        payload[off0[i2] + 1] = ((zz[i2] >> 8) & 0xFF).astype(np.uint8)
         i4 = i2[widths[i2] > 2]
         for b in (2, 3):
-            payload[off0[i4] + b] = ((zz[i4] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+            payload[off0[i4] + b] = ((zz[i4] >> (8 * b)) & 0xFF).astype(np.uint8)
         i8 = i4[widths[i4] > 4]
         if len(i8):
             for b in range(4, 8):
-                payload[off0[i8] + b] = ((zz[i8] >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.uint8)
+                payload[off0[i8] + b] = ((zz[i8] >> (8 * b)) & 0xFF).astype(np.uint8)
 
     # per-row-aligned 2-bit length plane: pad each row's codes to 4 elements
     padded_counts = (counts + 3) // 4 * 4

@@ -116,7 +116,9 @@ def flush_kernel_batches(
         tok = batch.column("tokens")
         if isinstance(tok, pa.ChunkedArray):
             tok = tok.combine_chunks()
-        flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep tokens in their native int32: halves traffic through the
+        # sort gather and the varint plane (bandwidth-bound kernels)
+        flat = tok.flatten().to_numpy(zero_copy_only=False)
         offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         # list offsets may not start at 0 after slicing; normalize
         splits = offs - offs[0]
@@ -168,7 +170,7 @@ def flush_kernel_batches(
             last_v[nz] = vals[e_nz]
             min_v[nz] = np.minimum.reduceat(vals, s_nz)
             max_v[nz] = np.maximum.reduceat(vals, s_nz)
-            sum_v[nz] = np.add.reduceat(vals, s_nz)
+            sum_v[nz] = np.add.reduceat(vals, s_nz, dtype=np.int64)
         encode_ns = time.perf_counter_ns() - t_start
 
         arrays = [
@@ -220,11 +222,11 @@ def flush_kernel_batches(
                     pa.array((ends - starts).astype(np.int32)),
                     pa.array(ts[starts]),
                     pa.array(ts[ends - 1]),
-                    pa.array(np.minimum.reduceat(vals, starts)),
-                    pa.array(np.maximum.reduceat(vals, starts)),
-                    pa.array(vals[starts]),
-                    pa.array(vals[ends - 1]),
-                    pa.array(np.add.reduceat(vals, starts)),
+                    pa.array(np.minimum.reduceat(vals, starts).astype(np.int64)),
+                    pa.array(np.maximum.reduceat(vals, starts).astype(np.int64)),
+                    pa.array(vals[starts].astype(np.int64)),
+                    pa.array(vals[ends - 1].astype(np.int64)),
+                    pa.array(np.add.reduceat(vals, starts, dtype=np.int64)),
                     zeros32,
                     pa.array(np.ones(g, dtype=bool)),
                     pa.array(np.zeros(g, dtype=np.int64)),
