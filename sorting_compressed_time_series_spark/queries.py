@@ -1263,3 +1263,51 @@ def variation_window_delta(spark, sf_dir):
         F.min("ts_us").alias("start_ts"),
         F.max("ts_us").alias("end_ts"),
     )
+
+
+@q(
+    "asof_join_prev_click",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+          OVER w AS prev_click_ts,
+        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+          OVER w AS prev_click_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS purchase_id, ts_us, prev_click_ts, prev_click_id
+    FROM b WHERE event_type = 'purchase'
+    """,
+)
+def asof_join_prev_click(spark, sf_dir):
+    """As-of join (not in the reference's SQL surface; IoTDB gets the same
+    effect from FILL PREVIOUS — SURVEY §2.5): for every purchase, the most
+    recent click at or before it, expressed as a running last-non-null over
+    the time-ordered union — no range join, one window pass."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_click_ts", click_ts)
+        .withColumn("prev_click_id", click_id)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "ts_us",
+            "prev_click_ts",
+            "prev_click_id",
+        )
+    )
