@@ -201,6 +201,9 @@ def _burn(_i: int) -> float:
     return time.perf_counter() - t
 
 
+_T0 = time.time()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -256,11 +259,14 @@ def main() -> None:
     if not os.environ.get("BENCH_SKIP_SCALING"):
         result["machine_parallel_ceiling"] = _machine_ceiling(cpus)
         lo_cores = max(cpus // 4, 2)
-        reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
-        sdocs = int(os.environ.get("SCALING_DOCS", bench_docs * 2))
+        reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+        sdocs = int(os.environ.get("SCALING_DOCS", bench_docs))
+        deadline = _T0 + float(os.environ.get("BENCH_DEADLINE", "520"))
         runs: dict = {}
         all_thr: dict = {lo_cores: [], cpus: []}
         for _rep in range(reps):
+            if _rep > 0 and time.time() > deadline and len(runs) == 2:
+                break  # keep at least one clean pair; don't blow the budget
             for c in (lo_cores, cpus):
                 s = _fresh_spark(c)
                 _warmup(s)
