@@ -56,14 +56,22 @@ class Pipeline:
 
     # --- stage 1: ingest+flush ------------------------------------------
     def ingest(self, tokens_df: DataFrame, seed: int = 42,
-               partitions: int | None = None) -> DataFrame:
+               partitions: int | None = None, append: bool = False) -> DataFrame:
         # co-emit tier-1 partials (tier = -1 rows) so promotion never decodes
         chunks = flush(tokens_df, seed, partitions,
                        partial_window_us=self.tiers[0].window_us)
         chunks = with_p_day(chunks, "window_start")
-        max_ts = None
+        if append and self.warehouse.exists("chunks_tier0"):
+            old = self.warehouse.read(self.spark, "chunks_tier0")
+            chunks = old.unionByName(chunks)
+            # appended series may carry windows below the promoted
+            # watermarks; invalidate them → next promotion recomputes
+            # (idempotent; a per-key MERGE is the large-scale refinement)
+            for spec in self.tiers:
+                self.warehouse.reset_watermark(spec.name)
         self.warehouse.write(chunks, "chunks_tier0", partition_by=("p_day",),
-                             watermark_us=max_ts, op="ingest")
+                             watermark_us=None,
+                             op="append" if append else "ingest")
         return self.warehouse.read(self.spark, "chunks_tier0")
 
     # --- stage 2: promotion with checkpoint ------------------------------

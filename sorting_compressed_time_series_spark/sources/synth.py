@@ -64,13 +64,16 @@ def _gen_batch(ids: np.ndarray, seed: int) -> pa.RecordBatch:
     )
 
 
-def generate_tokens_df(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
-    """Distributed deterministic generation of the input table."""
+def generate_tokens_df(spark: SparkSession, n_docs: int, seed: int = 42,
+                       start: int = 0) -> DataFrame:
+    """Distributed deterministic generation of the input table; rows are a
+    pure function of (seed, doc index), so ``start`` slices the same
+    infinite corpus (incremental-ingest batches)."""
 
     def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
             yield _gen_batch(ids, seed)
 
-    base = spark.range(0, n_docs)
+    base = spark.range(start, start + n_docs)
     return base.mapInArrow(gen, schema="doc_id string, tokens array<int>, n_tok int, source string")

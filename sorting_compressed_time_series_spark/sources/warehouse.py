@@ -87,6 +87,19 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return self.manifest(table)["snapshot"] is not None
 
+    def reset_watermark(self, table: str) -> None:
+        """Invalidate a tier's promotion watermark (e.g. after an append of
+        data that may fall below it); the next promotion recomputes fully —
+        deterministic and idempotent, so correctness is unaffected."""
+        if not self.exists(table):
+            return
+        m = self.manifest(table)
+        m["watermark_us"] = None
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+
     def watermark(self, table: str) -> int | None:
         return self.manifest(table)["watermark_us"]
 

@@ -131,3 +131,22 @@ def test_gapfill_modes_match_pandas(spark):
         assert all(out), mode
     # the synthetic data must actually contain gaps for this test to matter
     assert (got["was_missing"]).any()
+
+
+def test_incremental_append_equals_oneshot(spark, tmp_path_factory):
+    one = Warehouse(str(tmp_path_factory.mktemp("wh_oneshot")))
+    p1 = Pipeline(spark, one, _tiers())
+    p1.ingest(generate_tokens_df(spark, 80, SEED), SEED)
+    p1.promote_all()
+
+    inc = Warehouse(str(tmp_path_factory.mktemp("wh_incr")))
+    p2 = Pipeline(spark, inc, _tiers())
+    p2.ingest(generate_tokens_df(spark, 50, SEED), SEED)
+    p2.promote_all()
+    p2.ingest(generate_tokens_df(spark, 30, SEED, start=50), SEED, append=True)
+    p2.promote_all()
+
+    for s in _tiers():
+        a = _collect(one.read(spark, s.name))
+        b = _collect(inc.read(spark, s.name))
+        pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
