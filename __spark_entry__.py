@@ -2,9 +2,9 @@
 
 ``entry``   — flagship: tokens → seriesize → flush (compressed-domain
               sort + encode) → tier rollup cascade, on sf0.001-scale input.
-``queries`` — every implemented operator from SURVEY.md §2 (39 entries).
-``oracle_sql`` — DuckDB equivalents for the 33 SQL-expressible ones;
-              the 6 others (hash-based LSH/SimHash, the synthetic tokens
+``queries`` — every implemented operator from SURVEY.md §2 (45 entries).
+``oracle_sql`` — DuckDB equivalents for the 38 SQL-expressible ones;
+              the 7 others (hash-based LSH/SimHash, the synthetic tokens
               pipeline whose generator can't run inside DuckDB) are
               rows-only here and exact-oracle-tested in tests/.
 """
