@@ -1311,3 +1311,39 @@ def asof_join_prev_click(spark, sf_dir):
             "prev_click_id",
         )
     )
+
+
+@q(
+    "compaction_merge",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id
+    FROM events
+    """,
+)
+def compaction_merge(spark, sf_dir):
+    """Compaction end-to-end under the oracle gate: each user's series is
+    split into two overlapping pages (even/odd points), encoded separately
+    (two flushes), merged by the page-merge kernel (k-merge regime), and
+    decoded — the merged chunk must reproduce the full series exactly
+    (reference PersistUncompressingSorter / CompactionSorterTest)."""
+    from .codecs.bytealigned import delta_decode as _dd
+    from .codecs.bytealigned import delta_encode as _de
+    from .codecs.bytealigned import varint_decode as _vd
+    from .codecs.bytealigned import varint_encode as _ve
+    from .operators.page_merge import merge_pages as _mp
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "event_id")
+    schema = "user_id bigint, ts_us bigint, event_id bigint"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        ids = pdf["event_id"].to_numpy(np.int64)
+        tp = [_de(ts[0::2]), _de(ts[1::2])]
+        vp = [_ve(ids[0::2]), _ve(ids[1::2])]
+        mt, mv, _ = _mp(tp, vp)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"].iloc[0], "ts_us": _dd(mt), "event_id": _vd(mv)}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
