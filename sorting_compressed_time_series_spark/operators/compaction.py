@@ -16,7 +16,6 @@ shuffle-free on a real cluster.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame

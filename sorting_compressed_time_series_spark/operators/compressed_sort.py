@@ -37,7 +37,6 @@ from ..codecs.bytealigned import (
     delta_decode,
     delta_encode,
     permute,
-    varint_encode,
     zigzag,
 )
 

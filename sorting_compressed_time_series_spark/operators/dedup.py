@@ -17,7 +17,7 @@ more than `max_df` docs carries ~no signal and would dominate the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 NORMALIZE = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
 

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.ingest import flush
 from ..operators.retention import apply_retention
 from ..operators.rollup import (
-    WINDOW_1D_US,
     WINDOW_1H_US,
     WINDOW_1M_US,
     promote,
