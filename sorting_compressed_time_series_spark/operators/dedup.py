@@ -92,15 +92,18 @@ def minhash_lsh_candidates(
     Estimated Jaccard = fraction of matching minhash components."""
     sig = minhash_signatures(docs, num_perm, n).cache()
     r = num_perm // bands
-    buckets = None
-    for bidx in range(bands):
-        cols = [F.col(f"mh{bidx * r + j}") for j in range(r)]
-        bnd = sig.select(
-            "doc_id",
+    # one pass: explode an array of (band, bucket) structs instead of a
+    # bands-way union (each union arm re-scanned the signature frame)
+    band_structs = F.array(*[
+        F.struct(
             F.lit(bidx).alias("band"),
-            F.xxhash64(*cols).alias("bucket"),
+            F.xxhash64(*[F.col(f"mh{bidx * r + j}") for j in range(r)]).alias("bucket"),
         )
-        buckets = bnd if buckets is None else buckets.unionByName(bnd)
+        for bidx in range(bands)
+    ])
+    buckets = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     l = buckets.select(F.col("doc_id").alias("a"), "band", "bucket")
     rr = buckets.select(F.col("doc_id").alias("b"), "band", "bucket")
     cand = (
