@@ -247,8 +247,12 @@ def _clz64(x: np.ndarray) -> np.ndarray:
     """
     f = x.astype(np.float64)
     e = ((f.view(np.uint64) >> _U64(52)) & _U64(0x7FF)).astype(np.int64) - 1023
-    e_c = np.minimum(e, 63).astype(np.uint64)
-    too_big = (x >> e_c) == 0  # x < 2^e → exponent was rounded up
+    # Clamp BEFORE the rounded-up correction: x in (2^64-1024, 2^64-1] casts
+    # to exactly 2^64 (e=64); clamping to 63 is already the right exponent
+    # there (bit_length 64), and the shift-compare below would otherwise be
+    # unable to detect it (shift amount saturates at 63).
+    e = np.minimum(e, 63)
+    too_big = (x >> e.astype(np.uint64)) == 0  # x < 2^e → exponent rounded up
     e = np.where(too_big, e - 1, e)
     return 63 - e
 

@@ -17,7 +17,7 @@ more than `max_df` docs carries ~no signal and would dominate the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 NORMALIZE = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
 
@@ -27,10 +27,22 @@ def normalized(docs: DataFrame) -> DataFrame:
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical (normalized) docs; keep the smallest id."""
+    """Groups of byte-identical (normalized) docs; keep the smallest id.
+
+    Groups by (xxhash64(norm_text), length(norm_text)) — a fixed-width
+    16-byte shuffle key — NOT by the text itself: at corpus scale the
+    groupBy key would otherwise carry the entire corpus through the
+    exchange. The 64-bit hash + exact length pair makes an accidental
+    collision (two different texts, same hash AND same length) the only
+    failure mode; at 10^12 docs the expected number of such collisions is
+    ~n²/2^64/P(len match) ≪ 1 per length class, and a collision only
+    over-merges a dedup group (never corrupts source data)."""
     return (
         normalized(docs)
-        .groupBy("norm_text")
+        .groupBy(
+            F.xxhash64("norm_text").alias("h"),
+            F.length("norm_text").alias("len"),
+        )
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
         .select("keep_id", "n_dups")
     )
@@ -86,11 +98,27 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataF
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, num_perm: int = 32, bands: int = 8, n: int = 3
+    docs: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
-    Estimated Jaccard = fraction of matching minhash components."""
-    sig = minhash_signatures(docs, num_perm, n).cache()
+    Estimated Jaccard = fraction of matching minhash components.
+
+    Scale guards:
+    - per-(band, bucket) size cap (``max_bucket``): a degenerate bucket
+      (boilerplate / empty docs) is quadratic in its size; a bucket that
+      big carries no near-dup signal anyway (everything in it pairs with
+      everything). Dropped buckets are a documented recall trade, same
+      shape as ``jaccard_pairs``' ``max_df``;
+    - singleton buckets are filtered BEFORE the self-join (they generate
+      zero pairs but would still be shuffled twice);
+    - the signature rejoin carries ONE array column, not ``num_perm``
+      scalar columns, and the estimate is a JVM-side zip_with/aggregate.
+    """
+    sig = minhash_signatures(docs, num_perm, n)
     r = num_perm // bands
     # one pass: explode an array of (band, bucket) structs instead of a
     # bands-way union (each union arm re-scanned the signature frame)
@@ -101,9 +129,18 @@ def minhash_lsh_candidates(
         )
         for bidx in range(bands)
     ])
-    buckets = sig.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig"),
+        band_structs.alias("bbs"),
+    ).cache()
+    buckets = sig.select("doc_id", F.explode("bbs").alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    wsz = W.partitionBy("band", "bucket")
+    buckets = buckets.withColumn("bsz", F.count("*").over(wsz)).filter(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    ).drop("bsz")
     l = buckets.select(F.col("doc_id").alias("a"), "band", "bucket")
     rr = buckets.select(F.col("doc_id").alias("b"), "band", "bucket")
     cand = (
@@ -112,12 +149,14 @@ def minhash_lsh_candidates(
         .select("a", "b")
         .distinct()
     )
-    siga = sig.select(F.col("doc_id").alias("a"), *[F.col(f"mh{i}").alias(f"ha{i}") for i in range(num_perm)])
-    sigb = sig.select(F.col("doc_id").alias("b"), *[F.col(f"mh{i}").alias(f"hb{i}") for i in range(num_perm)])
+    siga = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sigb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
     est = cand.join(siga, "a").join(sigb, "b")
-    match_frac = sum(
-        (F.col(f"ha{i}") == F.col(f"hb{i}")).cast("int") for i in range(num_perm)
-    ) / num_perm
+    match_frac = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_perm)
     return est.select("a", "b", match_frac.alias("est_jaccard"))
 
 
@@ -144,3 +183,46 @@ def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return per_bit.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 200
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into four
+    16-bit keys and equi-join per band — by pigeonhole, any pair with
+    hamming distance ≤ 3 agrees exactly on at least one of the 4 bands —
+    then verify candidates with a popcount on the XOR (JVM bit_count).
+
+    Same scale shape as MinHash-LSH: candidate generation is linear via
+    bucket equi-joins (with a degenerate-bucket cap), exact verification
+    only within buckets."""
+    fp = simhash(docs)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+        )
+        for b in range(4)
+    ])
+    fp = fp.select("doc_id", "simhash", band_structs.alias("bbs"))
+    buckets = fp.select("doc_id", "simhash", F.explode("bbs").alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    wsz = W.partitionBy("band", "key")
+    buckets = buckets.withColumn("bsz", F.count("*").over(wsz)).filter(
+        (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
+    ).drop("bsz")
+    l = buckets.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "key")
+    rr = buckets.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band", "key")
+    cand = (
+        l.join(rr, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

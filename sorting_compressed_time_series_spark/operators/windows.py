@@ -16,17 +16,26 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def tumbling(df: DataFrame, ts_col: str, window_us: int) -> Column:
-    """Left-closed right-open epoch-aligned buckets (AggrWindowIterator)."""
-    return (F.col(ts_col) / F.lit(window_us)).cast("bigint") * F.lit(window_us)
+    """Left-closed right-open epoch-aligned buckets (AggrWindowIterator).
+
+    Exact integer `div`, not double `/` + cast: epoch-microsecond timestamps
+    (~1.8e18) exceed 2^53, so double division can round boundary-exact
+    timestamps into the wrong bucket for window sizes whose multiples aren't
+    representable (float64 ulp at this magnitude is 256)."""
+    return F.expr(f"({ts_col} div {window_us}) * {window_us}")
 
 
 def sliding_windows(df: DataFrame, ts_col: str, interval_us: int, step_us: int) -> DataFrame:
     """Each point joins every window [w, w+interval) containing it; windows
     start at multiples of step (IoTDB GROUP BY ([t1,t2), interval, step)).
     Implemented with sequence+explode — no UDF, no range join."""
-    first = (F.ceil((F.col(ts_col) - F.lit(interval_us - 1)) / F.lit(step_us))
-             .cast("bigint") * F.lit(step_us))
-    last = (F.col(ts_col) / F.lit(step_us)).cast("bigint") * F.lit(step_us)
+    # exact integer arithmetic (see tumbling() docstring): ceil(a/step) for
+    # positive a = (a + step - 1) div step; non-positive a is clamped to
+    # window 0 by the greatest() below either way.
+    first = F.expr(
+        f"(({ts_col} - {interval_us - 1} + {step_us - 1}) div {step_us}) * {step_us}"
+    )
+    last = F.expr(f"({ts_col} div {step_us}) * {step_us}")
     return df.withColumn(
         "window_start",
         F.explode(F.sequence(F.greatest(first, F.lit(0)), last, F.lit(step_us))),

@@ -267,7 +267,7 @@ def compressed_sort_q(spark, sf_dir):
 
 
 _ROLLUP_COLS = (
-    "count(*) AS cnt, sum(q) AS sum_q, min(q) AS min_q, max(q) AS max_q, "
+    "count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q, max(q) AS max_q, "
     "first(q ORDER BY ts_us, event_id) AS first_q, "
     "first(q ORDER BY ts_us DESC, event_id DESC) AS last_q"
 )
@@ -324,7 +324,7 @@ def rollup_1h_from_1m(spark, sf_dir):
     "rollup_from_chunk_stats",
     f"""
     WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, {Q} AS q FROM events)
-    SELECT user_id, count(*) AS cnt, sum(q) AS sum_q, min(q) AS min_q,
+    SELECT user_id, count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q, min(q) AS min_q,
            max(q) AS max_q, min(ts_us) AS min_ts, max(ts_us) AS max_ts
     FROM b GROUP BY 1
     """,
@@ -369,7 +369,7 @@ def rollup_from_chunk_stats_q(spark, sf_dir):
                                     t // 300000000 * 300000000, 300000000)) AS window_start
       FROM b
     )
-    SELECT user_id, window_start, count(*) AS cnt, sum(q) AS sum_q
+    SELECT user_id, window_start, count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q
     FROM e GROUP BY 1, 2
     """,
 )
@@ -407,7 +407,7 @@ _GAPFILL_BASE = f"""
 def _gapfill_frame(spark, sf_dir):
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
-        "user_id", (F.col("ts_us") / US_1H).cast("bigint").alias("wdiv")
+        "user_id", F.expr(f"ts_us div {US_1H}").alias("wdiv")
     ).agg((F.sum("q") * 1.0 / F.count("*")).alias("avg_q"))
     return hourly.select(
         F.col("user_id").alias("doc_id"), (F.col("wdiv") * US_1H).alias("window_start"), "avg_q"
@@ -490,8 +490,8 @@ def gapfill_constant(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, t,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM b
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -520,7 +520,7 @@ def session_window_30m(spark, sf_dir):
                AS count_window
       FROM events
     )
-    SELECT user_id, count_window, count(*) AS cnt, sum(q) AS sum_q,
+    SELECT user_id, count_window, count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q,
            min(t) AS min_ts, max(t) AS max_ts
     FROM b GROUP BY 1, 2
     """,
@@ -543,9 +543,9 @@ def count_window_20(spark, sf_dir):
     f"""
     WITH b AS (
       SELECT user_id, event_id, epoch_us(ts) AS t, value,
-             sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) OVER (
+             CAST(sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS condition_group
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS condition_group
       FROM events
     )
     SELECT user_id, condition_group, count(*) AS cnt,
@@ -577,8 +577,8 @@ def condition_window(spark, sf_dir):
     ),
     g AS (
       SELECT user_id, event_type, t,
-             sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS variation_group
+             CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS variation_group
       FROM b
     )
     SELECT user_id, variation_group, any_value(event_type) AS event_type, count(*) AS cnt
@@ -633,7 +633,7 @@ _JOIN_BASE = f"""
 def _minutely(spark, sf_dir, etype, alias):
     ev = _events(spark, sf_dir).filter(F.col("event_type") == etype)
     return ev.groupBy(
-        "user_id", ((F.col("ts_us") / US_1D).cast("bigint") * US_1D).alias("m")
+        "user_id", F.expr(f"(ts_us div {US_1D}) * {US_1D}").alias("m")
     ).agg(F.count("*").alias(alias))
 
 
@@ -701,7 +701,7 @@ def horizontal_concat(spark, sf_dir):
     """HorizontallyConcatOperator: one aligned wide row per (series, hour) —
     conditional aggregation, no join needed."""
     ev = _events(spark, sf_dir)
-    h = (F.col("ts_us") / US_1H).cast("bigint") * US_1H
+    h = F.expr(f"(ts_us div {US_1H}) * {US_1H}")
     out = ev.groupBy("user_id", h.alias("h"))
     aggs = [
         F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
@@ -721,7 +721,7 @@ def horizontal_concat(spark, sf_dir):
            count(*) AS cnt,
            count(*) FILTER (q > 50000000) AS cnt_if,
            count(DISTINCT t) AS count_time,
-           sum(q) AS sum_q,
+           CAST(sum(q) AS BIGINT) AS sum_q,
            min(q) AS min_q, max(q) AS max_q,
            first(q ORDER BY t, event_id) AS first_q,
            first(q ORDER BY t DESC, event_id DESC) AS last_q,
@@ -824,7 +824,7 @@ def sort_limit_offset(spark, sf_dir):
     "group_by_rollup_levels",
     f"""
     SELECT coalesce(event_type, 'ALL') AS level_key, count(*) AS cnt,
-           sum({Q}) AS sum_q
+           CAST(sum({Q}) AS BIGINT) AS sum_q
     FROM events GROUP BY ROLLUP (event_type)
     """,
 )
@@ -897,9 +897,11 @@ def dedup_exact(spark, sf_dir):
       FROM w
     ),
     ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
+    hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 50),
+    exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
     pairs AS (
       SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb, count(*) AS inter
-      FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      FROM exf x JOIN exf y ON x.s = y.s AND x.doc_id < y.doc_id
       GROUP BY 1, 2, 3, 4
     )
     SELECT a, b, round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
@@ -908,8 +910,11 @@ def dedup_exact(spark, sf_dir):
 )
 def dedup_jaccard_3gram(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (word 3-grams, τ=0.2):
-    shingle-explode self-join, no UDFs."""
-    out = DD.jaccard_pairs(_documents(spark, sf_dir), n=3, tau=0.2)
+    shingle-explode self-join, no UDFs. max_df=50 caps hot-shingle fan-out
+    (a shingle shared by >50 docs carries no near-dup signal and makes the
+    self-join quadratic); union sizes stay exact — only the intersection
+    counting skips hot shingles, mirrored exactly in the oracle."""
+    out = DD.jaccard_pairs(_documents(spark, sf_dir), n=3, tau=0.2, max_df=50)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -927,6 +932,14 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (sign-aggregated word hashes)."""
     return DD.simhash(_documents(spark, sf_dir))
+
+
+@q("dedup_simhash_pairs")  # rows-only: bit-level xxhash64 aggregation
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: 4×16-bit band equi-join (pigeonhole-complete
+    for hamming ≤ 3) + popcount verify. Recall oracle vs brute-force
+    hamming in tests/test_training_ops.py."""
+    return DD.simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
 
 
 @q(
@@ -1184,7 +1197,7 @@ def roundtrip_ts2diff(spark, sf_dir):
     "having_filter",
     f"""
     WITH b AS (SELECT user_id, epoch_us(ts) // {US_1D} * {US_1D} AS h, {Q} AS q FROM events)
-    SELECT user_id, h, count(*) AS cnt, sum(q) AS sum_q
+    SELECT user_id, h, count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q
     FROM b GROUP BY 1, 2 HAVING count(*) >= 2
     """,
 )
@@ -1192,7 +1205,7 @@ def having_filter(spark, sf_dir):
     """GROUP BY ... HAVING (IoTDBSqlParser.g4:732-734): post-aggregation
     predicate — a filter on the aggregated frame."""
     ev = _events(spark, sf_dir)
-    h = (F.col("ts_us") / US_1D).cast("bigint") * US_1D
+    h = F.expr(f"(ts_us div {US_1D}) * {US_1D}")
     return (
         ev.groupBy("user_id", h.alias("h"))
         .agg(F.count("*").alias("cnt"), F.sum("q").alias("sum_q"))

@@ -183,6 +183,36 @@ def test_gorilla_longs_roundtrip(n):
     assert np.array_equal(gorilla_decode_longs(gorilla_encode_longs(x)), x)
 
 
+def test_gorilla_near_2pow64_xor():
+    """Regression: XOR values in (2^64-1024, 2^64-1] round up to 2^64 in
+    float64, which used to make _clz64 return -1 (lead=-1, mlen=65) and
+    silently corrupt the stream — e.g. [5, -6, 7, 123] decoded to [5,5,5,5].
+    """
+    v = np.array([5, -6, 7, 123], dtype=np.int64)
+    back = gorilla_decode_longs(gorilla_encode_longs(v.view(np.uint64)))
+    assert np.array_equal(back.view(np.int64), v)
+    # alternating x / ~x: every XOR is all-ones (2^64-1)
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 2**63, size=500, dtype=np.int64)
+    inter = np.empty(1000, dtype=np.int64)
+    inter[0::2] = a
+    inter[1::2] = ~a
+    back = gorilla_decode_longs(gorilla_encode_longs(inter.view(np.uint64)))
+    assert np.array_equal(back.view(np.int64), inter)
+    # exhaustive _clz64 sweep across every power-of-two boundary ±2 and the
+    # whole rounds-to-2^64 tail, vs int.bit_length
+    from sorting_compressed_time_series_spark.codecs.bitpacked import _clz64
+
+    vals = sorted(
+        {(1 << k) + d for k in range(1, 64) for d in (-2, -1, 0, 1, 2)}
+        | {(1 << 64) - 1 - d for d in range(1200)}
+    )
+    vals = [x for x in vals if 1 <= x < (1 << 64)]
+    got = _clz64(np.array(vals, dtype=np.uint64))
+    exp = np.array([64 - x.bit_length() for x in vals], dtype=np.int64)
+    assert np.array_equal(got, exp)
+
+
 def test_gorilla_doubles_walk():
     # FIXTURES.md: gorilla-friendly random walk, exact bit equality
     rng = np.random.default_rng(29)

@@ -70,6 +70,30 @@ def test_simhash_locality(spark, docs):
     assert np.mean(near) < np.mean(rand), (np.mean(near), np.mean(rand))
 
 
+def test_simhash_pairs_complete_for_low_hamming(spark, docs):
+    """4×16-bit banding is pigeonhole-COMPLETE for hamming ≤ 3: any pair
+    with ≤3 differing bits agrees exactly on ≥1 band. With no degenerate
+    buckets at this scale, recall vs brute-force hamming must be 100%,
+    and every reported pair must verify (popcount ≤ 3)."""
+    fp = DD.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+
+    def hamming(a, b):
+        return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    ids = sorted(fp.index)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if hamming(fp[a], fp[b]) <= 3
+    }
+    out = DD.simhash_pairs(docs, max_hamming=3).toPandas()
+    got = set(zip(out.a, out.b))
+    assert truth, "planted near-dups must land within hamming 3"
+    assert got == truth, (len(got), len(truth), got ^ truth)
+    assert (out.hamming <= 3).all()
+
+
 def test_ann_lsh_recall_vs_brute_force(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     bf = SIM.brute_force_topk(emb, n_queries=10, k=5).toPandas()
