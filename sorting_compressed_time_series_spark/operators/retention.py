@@ -32,14 +32,19 @@ def apply_retention(
     ttl_us: int,
     partition_col: str = "p_day",
 ) -> dict:
-    """Drop expired partitions of a tier table; returns lineage summary."""
-    df = wh.read(spark, table)
+    """Drop expired partitions of a tier table; returns lineage summary.
+
+    Metadata-only: whole ``p_day=N`` partition directories below the cutoff
+    are removed from the live snapshot (``Warehouse.drop_partitions``) — no
+    data rewrite, no full-table scan. Rows are counted only when something
+    was actually dropped, and only over the surviving table (one pruned
+    scan), to report lineage."""
     cutoff_day = (now_us - ttl_us) // US_PER_DAY
-    kept = df.filter(F.col(partition_col) >= F.lit(cutoff_day))
-    n_before = df.count()
-    n_after = kept.count()
-    if n_after < n_before:
-        wh.write(kept, table, partition_by=(partition_col,),
-                 watermark_us=wh.watermark(table), op=f"retention<{cutoff_day}")
-    return {"table": table, "cutoff_day": int(cutoff_day),
-            "rows_before": n_before, "rows_after": n_after}
+    dropped = wh.drop_partitions(table, partition_col, int(cutoff_day),
+                                 op=f"retention<{cutoff_day}")
+    out = {"table": table, "cutoff_day": int(cutoff_day),
+           "partitions_dropped": dropped}
+    if dropped:
+        remaining = wh.partition_values(table, partition_col)
+        out["rows_after"] = wh.read(spark, table).count() if remaining else 0
+    return out

@@ -170,9 +170,10 @@ def promote(tier_df: DataFrame, coarser_window_us: int) -> DataFrame:
     """tier k → tier k+1: pure DataFrame over pre-aggregated rows.
     No Python, no decode — this is the cheap cascade that makes multi-tier
     downsampling nearly free at 100 TB (each tier is ~window-ratio smaller)."""
-    w = F.lit(coarser_window_us)
+    # exact integer bucketing (epoch-µs exceeds 2^53; see windows.tumbling)
     regrouped = tier_df.withColumn(
-        "window_start", (F.col("window_start") / w).cast("bigint") * w
+        "window_start",
+        F.expr(f"(window_start div {coarser_window_us}) * {coarser_window_us}"),
     )
     return _finalize(regrouped)
 

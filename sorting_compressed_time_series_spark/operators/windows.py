@@ -25,6 +25,16 @@ def tumbling(df: DataFrame, ts_col: str, window_us: int) -> Column:
     return F.expr(f"({ts_col} div {window_us}) * {window_us}")
 
 
+def natural_month(ts_col: str) -> Column:
+    """Calendar-aligned month buckets (IoTDB GROUP BY ([t1,t2), 1mo) — the
+    reference's PreAggrWindowWithNaturalMonthIterator, datanode/.../
+    aggregation/timerangeiterator/PreAggrWindowWithNaturalMonthIterator.java):
+    months have irregular lengths, so the bucket is date_trunc, not integer
+    division. Returns the month start as epoch-µs (session TZ is pinned
+    UTC, matching the DuckDB oracle's naive timestamps)."""
+    return F.unix_micros(F.date_trunc("month", F.timestamp_micros(F.col(ts_col))))
+
+
 def sliding_windows(df: DataFrame, ts_col: str, interval_us: int, step_us: int) -> DataFrame:
     """Each point joins every window [w, w+interval) containing it; windows
     start at multiples of step (IoTDB GROUP BY ([t1,t2), interval, step)).

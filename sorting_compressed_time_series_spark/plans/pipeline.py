@@ -52,36 +52,72 @@ class Pipeline:
     spark: SparkSession
     warehouse: Warehouse
     tiers: list[TierSpec] = field(default_factory=lambda: list(DEFAULT_TIERS))
+    # co-emit tier-1 partial rows (tier = -1) at flush so promotion never
+    # decodes a blob. OFF by default: the partials are a tier1-sized side
+    # table riding every chunk write (~5× the blob bytes at a 1s tier), and
+    # the decode-based tier1 (`rollup_tier1`) is vectorized CPU that scales
+    # with cores while the extra write IO does not.
+    emit_partials: bool = False
 
     # --- stage 1: ingest+flush ------------------------------------------
     def ingest(self, tokens_df: DataFrame, seed: int = 42,
                partitions: int | None = None, append: bool = False) -> DataFrame:
-        # co-emit tier-1 partials (tier = -1 rows) so promotion never decodes
         chunks = flush(tokens_df, seed, partitions,
-                       partial_window_us=self.tiers[0].window_us)
+                       partial_window_us=self.tiers[0].window_us
+                       if self.emit_partials else None)
         chunks = with_p_day(chunks, "window_start")
         if append and self.warehouse.exists("chunks_tier0"):
-            old = self.warehouse.read(self.spark, "chunks_tier0")
-            chunks = old.unionByName(chunks)
-            # appended series may carry windows below the promoted
-            # watermarks; invalidate them → next promotion recomputes
-            # (idempotent; a per-key MERGE is the large-scale refinement)
-            for spec in self.tiers:
-                self.warehouse.reset_watermark(spec.name)
-        self.warehouse.write(chunks, "chunks_tier0", partition_by=("p_day",),
-                             watermark_us=None,
-                             op="append" if append else "ingest")
+            # manifest-add only: the existing snapshot is untouched and the
+            # next promotion MERGEs just the appended docs' windows
+            self.warehouse.append_segment(chunks, "chunks_tier0",
+                                          partition_by=("p_day",), op="append")
+        else:
+            self.warehouse.write(chunks, "chunks_tier0", partition_by=("p_day",),
+                                 watermark_us=None, op="ingest")
         return self.warehouse.read(self.spark, "chunks_tier0")
 
     # --- stage 2: promotion with checkpoint ------------------------------
-    def promote_all(self, up_to_us: int | None = None) -> None:
-        """Promote each tier from its source up to the source's complete
-        windows. Idempotent: windows are recomputed deterministically from
-        the immutable finer tier; the manifest watermark says where to
-        resume. ``up_to_us`` caps promotion (for simulating partial runs)."""
-        chunks = self.warehouse.read(self.spark, "chunks_tier0")
-        data_max = chunks.filter(F.col("tier") == 0).agg(F.max("max_ts")).collect()[0][0]
+    def promote_all(self, up_to_us: int | None = None,
+                    collect_stats: bool = False) -> list[dict]:
+        """Promote each tier up to its source's complete windows.
 
+        Three regimes per tier, all deterministic and idempotent:
+        - **full** (no watermark yet): compute every window;
+        - **incremental** (watermark advance): keep rows below the
+          watermark, compute only [watermark, complete) from the finer
+          source filtered to that range (exact — a window's inputs all
+          carry window_start ≥ watermark);
+        - **merge** (pending appended segments): additionally recompute the
+          windows of JUST the appended docs below the watermark and splice
+          them over the kept rows (anti-join) — appends never trigger a
+          full recompute (the reference's compaction-then-requery shape;
+          per-key MERGE INTO on Iceberg).
+
+        Returns a per-tier summary; with ``collect_stats`` it includes
+        recomputed/kept row counts (extra count jobs — tests only)."""
+        wh = self.warehouse
+        chunks = wh.read(self.spark, "chunks_tier0")
+        data_max = chunks.filter(F.col("tier") == 0).agg(F.max("max_ts")).collect()[0][0]
+        pending = wh.pending_appends("chunks_tier0")
+        dirty = None
+        if pending:
+            seg = wh.read_segment(self.spark, "chunks_tier0", pending[0])
+            for s in pending[1:]:
+                seg = seg.unionByName(wh.read_segment(self.spark, "chunks_tier0", s))
+            dirty = seg.filter(F.col("tier") == 0).select("doc_id").distinct()
+        has_partials = chunks.filter(F.col("tier") == -1).limit(1).count() > 0
+        if has_partials and pending:
+            # the decode path is always correct; the partials fast path is
+            # only safe if the appended segments carried partials too
+            seg_partials = seg.filter(F.col("tier") == -1).limit(1).count() > 0
+            has_partials = has_partials and seg_partials
+
+        def tier1_fresh(src):
+            if has_partials:
+                return tier1_from_flush(src)
+            return rollup_tier1(src.filter(F.col("tier") == 0), self.tiers[0].window_us)
+
+        summary: list[dict] = []
         prev_df = None
         for i, spec in enumerate(self.tiers):
             if up_to_us is None:
@@ -90,34 +126,64 @@ class Pipeline:
             else:
                 # incremental run: only windows fully below the horizon
                 complete = (min(up_to_us, data_max) // spec.window_us) * spec.window_us
-            already = self.warehouse.watermark(spec.name)
-            if already is not None and already >= complete:
-                prev_df = self.warehouse.read(self.spark, spec.name)
+            already = wh.watermark(spec.name)
+            if already is not None and already >= complete and not pending:
+                prev_df = wh.read(self.spark, spec.name)
+                summary.append({"tier": spec.name, "mode": "noop"})
                 continue
-            if i == 0:
-                has_partials = (
-                    chunks.filter(F.col("tier") == -1).limit(1).count() > 0
-                )
-                if has_partials:
-                    fresh = tier1_from_flush(chunks)
+            source = chunks if i == 0 else prev_df
+            fresh_of = tier1_fresh if i == 0 else (
+                lambda src, w=spec.window_us: promote(src, w)
+            )
+            win = F.col("window_start")
+            new_wm = int(complete)
+            if already is None:
+                out = fresh_of(source).filter(win < F.lit(complete))
+                mode = "full"
+                stats_dfs = {"recomputed": out}
+            else:
+                lo = int(already)
+                # an append of old-only data can leave complete < watermark;
+                # never regress the checkpoint
+                new_wm = max(new_wm, lo)
+                old = wh.read(self.spark, spec.name).drop("p_day").filter(win < F.lit(lo))
+                # tail: windows in [lo, complete) — the finer source rows
+                # that can contribute all carry window_start/min-ts ≥ lo
+                if i == 0:
+                    tail_src = chunks.filter(
+                        F.col("window_start") >= F.lit(lo)
+                        if has_partials
+                        else (F.col("tier") == 0) & (F.col("max_ts") >= F.lit(lo))
+                    )
                 else:
-                    fresh = rollup_tier1(chunks.filter(F.col("tier") == 0),
-                                         spec.window_us)
-            else:
-                fresh = promote(prev_df, spec.window_us)
-            fresh = fresh.filter(F.col("window_start") < F.lit(complete))
-            lo = already if already is not None else None
-            if lo is not None:
-                fresh_part = fresh.filter(F.col("window_start") >= F.lit(lo))
-                old = self.warehouse.read(self.spark, spec.name).filter(
-                    F.col("window_start") < F.lit(lo)
-                ).drop("p_day")
-                out = old.unionByName(fresh_part)
-            else:
-                out = fresh
-            self.warehouse.write(with_p_day(out), spec.name, partition_by=("p_day",),
-                                 watermark_us=int(complete), op=f"promote@{complete}")
-            prev_df = self.warehouse.read(self.spark, spec.name)
+                    tail_src = prev_df.filter(win >= F.lit(lo))
+                fresh_tail = fresh_of(tail_src).filter(
+                    (win >= F.lit(lo)) & (win < F.lit(complete))
+                )
+                if dirty is not None:
+                    kept = old.join(F.broadcast(dirty), "doc_id", "left_anti")
+                    dirty_src = source.join(F.broadcast(dirty), "doc_id", "left_semi")
+                    fresh_dirty = fresh_of(dirty_src).filter(win < F.lit(lo))
+                    out = kept.unionByName(fresh_dirty).unionByName(fresh_tail)
+                    mode = "merge"
+                    stats_dfs = {"kept": kept, "recomputed_dirty": fresh_dirty,
+                                 "recomputed_tail": fresh_tail}
+                else:
+                    out = old.unionByName(fresh_tail)
+                    mode = "incremental"
+                    stats_dfs = {"kept": old, "recomputed": fresh_tail}
+            entry = {"tier": spec.name, "mode": mode, "watermark_us": int(complete)}
+            if collect_stats:
+                # count BEFORE the write: the commit retires the old
+                # snapshot these frames still read from
+                entry.update({k: df.count() for k, df in stats_dfs.items()})
+            wh.write(with_p_day(out), spec.name, partition_by=("p_day",),
+                     watermark_us=new_wm, op=f"promote@{new_wm}:{mode}")
+            prev_df = wh.read(self.spark, spec.name)
+            summary.append(entry)
+        if pending:
+            wh.clear_pending("chunks_tier0")
+        return summary
 
     # --- stage 3: retention ----------------------------------------------
     def retain(self, now_us: int) -> list[dict]:

@@ -473,6 +473,59 @@ def gapfill_constant(spark, sf_dir):
     return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
 
 
+@q(
+    "gapfill_previous_bounded",
+    _GAPFILL_BASE
+    + f"""
+    , anchors AS (
+      SELECT user_id, window_start, avg_q,
+        last_value(avg_q IGNORE NULLS) OVER w_prev AS prev_v,
+        last_value(CASE WHEN avg_q IS NOT NULL THEN window_start END IGNORE NULLS) OVER w_prev AS prev_t
+      FROM j
+      WINDOW w_prev AS (PARTITION BY user_id ORDER BY window_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, window_start,
+           CASE WHEN window_start - prev_t <= {2 * US_1H} THEN prev_v END AS filled
+    FROM anchors
+    """,
+)
+def gapfill_previous_bounded(spark, sf_dir):
+    """FILL(PREVIOUS, maxDuration): carry the previous value only across
+    gaps no wider than the bound (2h here) — the bounded form in the
+    reference grammar (IoTDBSqlParser.g4:757-759, FILL(PREVIOUS, duration)).
+    Wider gaps stay NULL."""
+    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "previous",
+                  max_gap_us=2 * US_1H)
+    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+
+
+@q(
+    "rollup_natural_month",
+    f"""
+    WITH b AS (SELECT user_id, epoch_us(date_trunc('month', ts)) AS month_start,
+                      {Q} AS q FROM events)
+    SELECT user_id, month_start, count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q,
+           min(q) AS min_q, max(q) AS max_q
+    FROM b GROUP BY 1, 2
+    """,
+)
+def rollup_natural_month(spark, sf_dir):
+    """Natural-month windows (reference
+    PreAggrWindowWithNaturalMonthIterator): calendar-aligned buckets via
+    date_trunc — irregular month lengths make integer-division bucketing
+    impossible, the one window family that needs the calendar."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "user_id", WIN.natural_month("ts_us").alias("month_start")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("q").alias("sum_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+
+
 # -- window framing variants --------------------------------------------------
 
 
@@ -836,6 +889,38 @@ def group_by_rollup_levels(spark, sf_dir):
         F.count("*").alias("cnt"), F.sum("q").alias("sum_q")
     ).select(
         F.coalesce("event_type", F.lit("ALL")).alias("level_key"), "cnt", "sum_q"
+    )
+
+
+@q(
+    "group_by_levels_multi",
+    f"""
+    WITH b AS (SELECT event_type AS l1, CAST(user_id % 10 AS VARCHAR) AS l2,
+                      {Q} AS q FROM events)
+    SELECT coalesce(l1, 'ALL') AS level1, coalesce(l2, 'ALL') AS level2,
+           count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q
+    FROM b GROUP BY ROLLUP (l1, l2)
+    """,
+)
+def group_by_levels_multi(spark, sf_dir):
+    """Multi-level GROUP BY LEVEL: aggregate the series path hierarchy
+    root.<event_type>.<user_id%10> at EVERY prefix level in one pass —
+    Spark's rollup() grouping sets are the reference
+    TagAggregationOperator's arbitrary-level aggregation (it re-aggregates
+    per requested level; grouping sets share one shuffle for all levels)."""
+    ev = _events(spark, sf_dir)
+    b = ev.select(
+        F.col("event_type").alias("l1"),
+        F.pmod(F.col("user_id"), F.lit(10)).cast("string").alias("l2"),
+        "q",
+    )
+    return b.rollup("l1", "l2").agg(
+        F.count("*").alias("cnt"), F.sum("q").alias("sum_q")
+    ).select(
+        F.coalesce("l1", F.lit("ALL")).alias("level1"),
+        F.coalesce("l2", F.lit("ALL")).alias("level2"),
+        "cnt",
+        "sum_q",
     )
 
 

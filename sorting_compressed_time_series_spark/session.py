@@ -36,7 +36,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # token corpora are dense (≈4 B/token on disk): the 128 MB default
+        # yields single-task scans at bench scale; 16 MB keeps every core fed
+        # (on a real cluster this is tuned to ~executor-cores × files)
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
+        # chunk blobs are pre-compressed; zstd still wins ~25% on the stats
+        # and partial-row columns and the write is disk-bound locally
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -48,23 +48,29 @@ class Warehouse:
         with open(p) as f:
             return json.load(f)
 
-    def _commit(self, table: str, snapshot_dir: str, watermark_us: int | None,
-                lineage_entry: dict) -> None:
-        m = self.manifest(table)
-        old_snap = m["snapshot"]
-        m["snapshot"] = snapshot_dir
-        m["version"] += 1
-        if watermark_us is not None:
-            m["watermark_us"] = watermark_us
-        m["lineage"] = (m["lineage"] + [dict(lineage_entry, ts=time.time(),
-                                             version=m["version"])])[-50:]
+    def _swap_manifest(self, table: str, m: dict) -> None:
         tmp = self._manifest_path(table) + ".tmp"
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path(table))  # the atomic commit point
-        if old_snap and old_snap != snapshot_dir:
-            shutil.rmtree(os.path.join(self.root, table, old_snap), ignore_errors=True)
+
+    def _commit(self, table: str, snapshot_dir: str, watermark_us: int | None,
+                lineage_entry: dict) -> None:
+        m = self.manifest(table)
+        old_dirs = ([m["snapshot"]] if m["snapshot"] else []) + m.get("segments", [])
+        m["snapshot"] = snapshot_dir
+        m["segments"] = []
+        m["pending_appends"] = []
+        m["version"] += 1
+        if watermark_us is not None:
+            m["watermark_us"] = watermark_us
+        m["lineage"] = (m["lineage"] + [dict(lineage_entry, ts=time.time(),
+                                             version=m["version"])])[-50:]
+        self._swap_manifest(table, m)
+        for d in old_dirs:
+            if d != snapshot_dir:
+                shutil.rmtree(os.path.join(self.root, table, d), ignore_errors=True)
 
     # -- io ----------------------------------------------------------------
     def write(self, df: DataFrame, table: str, *, partition_by: tuple[str, ...] = (),
@@ -78,14 +84,114 @@ class Warehouse:
         w.parquet(path)
         self._commit(table, snap, watermark_us, {"op": op, "partition_by": partition_by})
 
+    def append_segment(self, df: DataFrame, table: str, *,
+                       partition_by: tuple[str, ...] = (), op: str = "append") -> str:
+        """Append-only commit: land the new rows as an extra SEGMENT dir and
+        add it to the manifest — the existing snapshot is untouched (no
+        table rewrite; Iceberg's append = manifest-add is exactly this).
+        The segment is also recorded under ``pending_appends`` so the next
+        promotion can MERGE just the affected keys instead of recomputing
+        every tier. A crash before the manifest swap leaves an orphan dir
+        the manifest never names; the rerun overwrites it."""
+        m = self.manifest(table)
+        if m["snapshot"] is None:
+            raise FileNotFoundError(f"table {table} has no base snapshot to append to")
+        seg = f"seg-{m['version'] + 1}"
+        path = os.path.join(self.root, table, seg)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        m["segments"] = m.get("segments", []) + [seg]
+        m["pending_appends"] = m.get("pending_appends", []) + [seg]
+        m["version"] += 1
+        m["lineage"] = (m["lineage"] + [{"op": op, "segment": seg, "ts": time.time(),
+                                         "version": m["version"]}])[-50:]
+        self._swap_manifest(table, m)
+        return seg
+
+    def _live_dirs(self, table: str) -> list[str]:
+        m = self.manifest(table)
+        return ([m["snapshot"]] if m["snapshot"] else []) + m.get("segments", [])
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         m = self.manifest(table)
         if m["snapshot"] is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        return spark.read.parquet(os.path.join(self.root, table, m["snapshot"]))
+        paths = [os.path.join(self.root, table, d) for d in self._live_dirs(table)]
+        # a retention drop can empty a whole segment dir (only _SUCCESS
+        # left) — schema inference would fail on it, so skip hollow dirs
+        live = [p for p in paths
+                if os.path.isdir(p) and any(not e.startswith("_") for e in os.listdir(p))]
+        dfs = [spark.read.parquet(p) for p in (live or paths[:1])]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_segment(self, spark: SparkSession, table: str, segment: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, table, segment))
+
+    def pending_appends(self, table: str) -> list[str]:
+        return self.manifest(table).get("pending_appends", [])
+
+    def clear_pending(self, table: str) -> None:
+        """Mark appended segments as promoted (they stay live data dirs)."""
+        m = self.manifest(table)
+        if m.get("pending_appends"):
+            m["pending_appends"] = []
+            self._swap_manifest(table, m)
 
     def exists(self, table: str) -> bool:
         return self.manifest(table)["snapshot"] is not None
+
+    def partition_values(self, table: str, partition_col: str = "p_day") -> list[int]:
+        """Partition values present in the live snapshot + segments
+        (directory listing — the manifest-level partition index, no data
+        scan)."""
+        prefix = f"{partition_col}="
+        vals: set[int] = set()
+        for snap in self._live_dirs(table):
+            base = os.path.join(self.root, table, snap)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith(prefix):
+                    try:
+                        vals.add(int(d[len(prefix):]))
+                    except ValueError:
+                        continue
+        return sorted(vals)
+
+    def drop_partitions(self, table: str, partition_col: str, cutoff: int,
+                        op: str = "retention") -> list[int]:
+        """Metadata-level partition drop: remove whole ``<col>=<v>`` partition
+        directories with ``v < cutoff`` from the live snapshot and record the
+        op in the manifest — NO table rewrite, no Spark job (the Iceberg
+        analogue is a metadata-only ``DELETE WHERE p_day < cutoff`` that
+        drops data files wholesale; reference file-level expiry
+        DataRegion.java:1623-1637). Returns the dropped partition values."""
+        m = self.manifest(table)
+        if m["snapshot"] is None:
+            return []
+        dropped = [v for v in self.partition_values(table, partition_col)
+                   if v < cutoff]
+        for snap in self._live_dirs(table):
+            base = os.path.join(self.root, table, snap)
+            for v in dropped:
+                shutil.rmtree(os.path.join(base, f"{partition_col}={v}"),
+                              ignore_errors=True)
+        if dropped:
+            m["version"] += 1
+            m["lineage"] = (m["lineage"] + [
+                {"op": op, "dropped": dropped, "ts": time.time(),
+                 "version": m["version"]}
+            ])[-50:]
+            tmp = self._manifest_path(table) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path(table))
+        return dropped
 
     def reset_watermark(self, table: str) -> None:
         """Invalidate a tier's promotion watermark (e.g. after an append of

@@ -144,9 +144,23 @@ def test_incremental_append_equals_oneshot(spark, tmp_path_factory):
     p2.ingest(generate_tokens_df(spark, 50, SEED), SEED)
     p2.promote_all()
     p2.ingest(generate_tokens_df(spark, 30, SEED, start=50), SEED, append=True)
-    p2.promote_all()
+    summary = p2.promote_all(collect_stats=True)
+
+    # the append must be a per-key MERGE, not a full recompute: every tier
+    # keeps the non-appended docs' rows and recomputes only the appended
+    # docs' windows (+ the watermark tail)
+    for entry in summary:
+        assert entry["mode"] == "merge", entry
+        assert entry["kept"] > 0, entry
+        # 30 docs appended onto 50: recomputed windows stay well below the
+        # untouched majority (a full recompute would have kept == 0)
+        recomputed = entry["recomputed_dirty"] + entry["recomputed_tail"]
+        assert recomputed < entry["kept"], entry
 
     for s in _tiers():
         a = _collect(one.read(spark, s.name))
         b = _collect(inc.read(spark, s.name))
         pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+    # a third, empty-delta promotion is a no-op at every tier
+    assert [e["mode"] for e in p2.promote_all()] == ["noop", "noop"]
