@@ -2,11 +2,12 @@
 
 ``entry``   — flagship: tokens → seriesize → flush (compressed-domain
               sort + encode) → tier rollup cascade, on sf0.001-scale input.
-``queries`` — every implemented operator from SURVEY.md §2 (45 entries).
-``oracle_sql`` — DuckDB equivalents for the 38 SQL-expressible ones;
-              the 7 others (hash-based LSH/SimHash, the synthetic tokens
-              pipeline whose generator can't run inside DuckDB) are
-              rows-only here and exact-oracle-tested in tests/.
+``queries`` — every implemented operator from SURVEY.md §2 (51 entries).
+``oracle_sql`` — DuckDB equivalents for the 43 SQL-expressible ones;
+              the 8 others (hash-based LSH/SimHash candidate generation,
+              the synthetic tokens pipeline whose generator can't run
+              inside DuckDB) are rows-only here and exact-oracle-tested
+              in tests/.
 """
 
 from __future__ import annotations

@@ -73,10 +73,13 @@ def pack_bits(values: np.ndarray, widths: np.ndarray) -> np.ndarray:
     if not nz.all():
         v = v[nz]
         w = w[nz]
-    # mask stray high bits so OR-accumulation is safe
+    # mask stray high bits so OR-accumulation is safe (width-64 elements are
+    # rare: patch them in place instead of a both-branches np.where pass)
     wu = w.astype(np.uint64)
     full = wu == _U64(64)
-    mask = np.where(full, ~_U64(0), (_U64(1) << (wu & _U64(63))) - _U64(1))
+    mask = (_U64(1) << (wu & _U64(63))) - _U64(1)
+    if full.any():
+        mask[full] = ~_U64(0)
     v = v & mask
     ends = np.cumsum(w)
     offs = ends - w
@@ -157,7 +160,9 @@ def unpack_bits(buf: np.ndarray, widths: np.ndarray) -> np.ndarray:
     spill = r > 0
     wu = w.astype(np.uint64)
     full = wu == _U64(64)
-    mask = np.where(full, ~_U64(0), (_U64(1) << (wu & _U64(63))) - _U64(1))
+    mask = (_U64(1) << (wu & _U64(63))) - _U64(1)
+    if full.any():
+        mask[full] = ~_U64(0)
     sh = np.where(spill, r, 64 - s - w).astype(np.uint64)
     w0 = lanes[lane0]
     w1 = lanes[lane0 + 1]
@@ -233,6 +238,52 @@ def dod_decode(blob: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
+def dod_encode_backward(values: np.ndarray) -> bytes:
+    """Tail-decodable (sort-on-insert) variant of delta-of-delta: the
+    stream is encoded from the NEWEST point backwards, so the latest
+    points sit at the stream head and :func:`dod_decode_tail` can
+    materialize the last ``k`` points reading only O(k) codes — the
+    reference's ``DeltaDeltaBackwardEncoder`` (DeltaDeltaBackwardEncoder.
+    java:181-342) exists for exactly this access pattern (LAST /
+    latest-window queries against a sort-on-insert memtable)."""
+    v = np.asarray(values, dtype=np.int64)
+    return dod_encode(v[::-1])
+
+
+def dod_decode_backward(blob: bytes | np.ndarray) -> np.ndarray:
+    """Full decode of a backward stream, in chronological order."""
+    return dod_decode(blob)[::-1]
+
+
+def dod_decode_tail(blob: bytes | np.ndarray, k: int) -> np.ndarray:
+    """Decode only the LAST ``k`` points (chronological order) of a
+    backward-encoded stream, touching O(k) tag/payload bits: unpack the
+    first ``k-1`` 3-bit tags, gather just their payload bits, one short
+    cumsum. The fixed-width tag plane is what makes the tail seekable
+    without decoding the body (same plane-split idea as the byte-aligned
+    family's ``lens`` array)."""
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[:4].view("<u4")[0])
+    if n == 0 or k <= 0:
+        return np.empty(0, dtype=np.int64)
+    k = min(k, n)
+    first = int(buf[4:12].view("<i8")[0])
+    if k == 1:
+        return np.array([first], dtype=np.int64)
+    tag_bytes_full = (3 * (n - 1) + 7) // 8
+    tag_bytes_k = (3 * (k - 1) + 7) // 8
+    tags = _fixed_unpack(buf[12 : 12 + tag_bytes_k], 3, k - 1).astype(np.int64)
+    widths = _DOD_WIDTH[tags]
+    zz = unpack_bits(buf[12 + tag_bytes_full :], widths)
+    dod = unzigzag(zz)
+    delta = np.cumsum(dod)
+    out = np.empty(k, dtype=np.int64)
+    out[0] = first
+    np.cumsum(delta, out=out[1:])
+    out[1:] += first
+    return out[::-1]
+
+
 # ---------------------------------------------------------------------------
 # Gorilla XOR
 # ---------------------------------------------------------------------------
@@ -253,14 +304,18 @@ def _clz64(x: np.ndarray) -> np.ndarray:
     # unable to detect it (shift amount saturates at 63).
     e = np.minimum(e, 63)
     too_big = (x >> e.astype(np.uint64)) == 0  # x < 2^e → exponent rounded up
-    e = np.where(too_big, e - 1, e)
+    e -= too_big
     return 63 - e
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-trailing-zeros for uint64 (x > 0)."""
-    lowbit = (x & (~x + _U64(1))).astype(np.uint64)
-    return 63 - _clz64(lowbit)
+    """Vectorized count-trailing-zeros for uint64 (x > 0).
+
+    The isolated lowest bit is an exact power of two ≤ 2^63, which float64
+    represents exactly — the exponent field IS the answer, no rounded-up
+    correction pass needed (unlike the general _clz64)."""
+    lowbit = (x & (~x + _U64(1))).astype(np.float64)
+    return ((lowbit.view(np.uint64) >> _U64(52)) & _U64(0x7FF)).astype(np.int64) - 1023
 
 
 def gorilla_encode_longs(bit_patterns: np.ndarray) -> bytes:
@@ -285,8 +340,9 @@ def gorilla_encode_longs(bit_patterns: np.ndarray) -> bytes:
     nz = xor != 0
     lead = np.zeros(n - 1, dtype=np.int64)
     trail = np.zeros(n - 1, dtype=np.int64)
-    lead[nz] = np.minimum(_clz64(xor[nz]), 63)
-    trail[nz] = _ctz64(xor[nz])
+    xnz = xor[nz]
+    lead[nz] = _clz64(xnz)  # xnz ≥ 1 → clz ≤ 63, no extra clamp
+    trail[nz] = _ctz64(xnz)
     mlen = np.where(nz, 64 - lead - trail, 0)
 
     # previous non-zero element's (lead, trail), aligned to each element

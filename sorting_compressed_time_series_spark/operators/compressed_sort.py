@@ -109,7 +109,9 @@ def _rotate_ranges(
 
 
 def compressed_sort(
-    time_data: ByteAlignedData, value_data: ByteAlignedData
+    time_data: ByteAlignedData,
+    value_data: ByteAlignedData,
+    inversion_threshold: float = ROTATION_INVERSION_THRESHOLD,
 ) -> tuple[ByteAlignedData, ByteAlignedData, dict]:
     """In-place compressed-domain sort of a nearly-sorted series.
 
@@ -131,7 +133,7 @@ def compressed_sort(
         return time_data, value_data, lineage
 
     inversions = int((ts[1:] < ts[:-1]).sum())
-    if inversions > max(1, n * ROTATION_INVERSION_THRESHOLD):
+    if inversions > max(1, n * inversion_threshold):
         t, v, moved = sort_reencode(time_data, value_data)
         lineage.update(path="reencode", moved_elements=moved)
         return t, v, lineage

@@ -139,10 +139,19 @@ def _finalize(partials: DataFrame) -> DataFrame:
     )
 
 
-def rollup_tier1(chunks_df: DataFrame, window_us: int = WINDOW_1M_US) -> DataFrame:
-    """tier0 chunks → tier1 windowed aggregates (decode happens here, once)."""
+def rollup_tier1(chunks_df: DataFrame, window_us: int = WINDOW_1M_US,
+                 unique_doc_chunks: bool = False) -> DataFrame:
+    """tier0 chunks → tier1 windowed aggregates (decode happens here, once).
+
+    ``unique_doc_chunks=True`` asserts every doc has exactly ONE chunk row
+    (true for the output of a single flush, before any append/compaction):
+    the kernel's per-(chunk, window) partials are then already final — the
+    cross-chunk merge exchange is provably redundant and is skipped, so the
+    tier-1 write runs at decode parallelism with no shuffle at all."""
     src = chunks_df.select("doc_id", "source", "time_blob", "value_blob")
     partials = src.mapInArrow(_window_partials_kernel(window_us), schema=TIER_PARTIAL_SCHEMA)
+    if unique_doc_chunks:
+        return partials
     return _finalize(partials)
 
 

@@ -126,13 +126,25 @@ def variation_windows_delta(df: DataFrame, key: str, ts_col: str, value_col: str
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
         v = pdf[value_col].to_numpy()
-        group = np.zeros(len(v), dtype=np.int64)
-        g, anchor = 0, v[0] if len(v) else 0
-        for i in range(1, len(v)):  # anchored scan: inherently sequential
-            if abs(v[i] - anchor) > delta:
-                g += 1
-                anchor = v[i]
-            group[i] = g
+        n = len(v)
+        group = np.empty(n, dtype=np.int64)
+        # anchored scan is inherently sequential in the ANCHORS, not the
+        # points: scan forward in vectorized blocks for the next break, so
+        # Python-level iterations are O(n_windows + n/block), not O(n)
+        g, i, block = 0, 0, 4096
+        while i < n:
+            anchor = v[i]
+            nxt = n
+            j = i + 1
+            while j < n:
+                hits = np.flatnonzero(np.abs(v[j:j + block] - anchor) > delta)
+                if len(hits):
+                    nxt = j + int(hits[0])
+                    break
+                j += block
+            group[i:nxt] = g
+            g += 1
+            i = nxt
         pdf["variation_group"] = group
         return pdf
 

@@ -113,23 +113,45 @@ def _encode_user_series(spark: SparkSession, sf_dir: str, value_expr: str = "q",
 
 
 def _decode_user_series(chunks: DataFrame, out_value: str) -> DataFrame:
+    from .operators.rollup import _blob_np
+
+    def _plane(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """Decode one blob column: whole-batch `decode_rows` for the
+        byte-aligned codecs, per-row `decode_chunk` dispatch otherwise
+        (bit-packed DOD / Gorilla blobs)."""
+        buf, splits = _blob_np(col)
+        codec = int(buf[splits[0] + 3]) if len(buf) else -1
+        if codec in (CODEC_DELTA, CODEC_VARINT):
+            from .codecs.batched import decode_rows
+
+            vals, _ = decode_rows(buf, splits)
+            return vals, np.array([])
+        rows = [np.asarray(decode_chunk(buf[splits[i]:splits[i + 1]].tobytes()))
+                for i in range(len(splits) - 1)]
+        counts = np.array([len(r) for r in rows], dtype=np.int64)
+        return (np.concatenate(rows) if rows else np.empty(0, np.int64)), counts
+
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            users, tss, vss = [], [], []
+            if b.num_rows == 0:
+                continue
             uid = b.column("user_id").to_numpy(zero_copy_only=False)
-            tb = b.column("time_blob")
-            vb = b.column("value_blob")
-            for i in range(b.num_rows):
-                ts = decode_chunk(tb[i].as_py())
-                vs = decode_chunk(vb[i].as_py())
-                users.append(np.full(len(ts), uid[i], dtype=np.int64))
-                tss.append(np.asarray(ts, dtype=np.int64))
-                vss.append(np.asarray(vs, dtype=np.int64) if vs.dtype != np.float64 else vs)
+            ts, _ = _plane(b.column("time_blob"))
+            vs, _ = _plane(b.column("value_blob"))
+            # per-row counts from the time plane headers
+            tbuf, tsp = _blob_np(b.column("time_blob"))
+            counts = np.zeros(b.num_rows, dtype=np.int64)
+            valid = np.diff(tsp) >= 8
+            st = tsp[:-1][valid]
+            for k in range(4):
+                counts[valid] |= tbuf[st + 4 + k].astype(np.int64) << (8 * k)
+            users = np.repeat(uid.astype(np.int64), counts)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(users)),
-                    pa.array(np.concatenate(tss)),
-                    pa.array(np.concatenate(vss)),
+                    pa.array(users),
+                    pa.array(np.asarray(ts, dtype=np.int64)),
+                    pa.array(vs if np.asarray(vs).dtype == np.float64
+                             else np.asarray(vs, dtype=np.int64)),
                 ],
                 names=["user_id", "ts_us", out_value],
             )
@@ -1347,6 +1369,34 @@ def aligned_series_scan(spark, sf_dir):
         )
 
     return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
+
+
+@q(
+    "aligned_series_agg",
+    f"""
+    WITH b AS (SELECT user_id, epoch_us(ts) AS ts_us, {Q} AS q, event_id FROM events)
+    SELECT user_id, ts_us // {US_1H} * {US_1H} AS window_start,
+           count(*) AS cnt, CAST(sum(q) AS BIGINT) AS sum_q,
+           min(q) AS min_q, max(q) AS max_q,
+           min(event_id) AS min_e, max(event_id) AS max_e
+    FROM b GROUP BY 1, 2
+    """,
+)
+def aligned_series_agg(spark, sf_dir):
+    """AlignedSeriesAggregationScanOperator: windowed aggregates over ALL
+    value planes of an aligned device in one scan — the shared time plane
+    is decoded once and every value plane aggregates against it (reference
+    execution/operator/source/AlignedSeriesAggregationScanOperator)."""
+    df = aligned_series_scan(spark, sf_dir)
+    w = F.expr(f"(ts_us div {US_1H}) * {US_1H}")
+    return df.groupBy("user_id", w.alias("window_start")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("q").alias("sum_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.min("event_id").alias("min_e"),
+        F.max("event_id").alias("max_e"),
+    )
 
 
 @q("variation_window_delta")  # rows-only: anchored scan is not SQL-expressible

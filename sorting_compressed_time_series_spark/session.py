@@ -28,6 +28,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default 64m advisory coalesces a ~50MB post-shuffle stage to ONE
+        # task — a single-threaded write after a 32-way aggregation; 8m
+        # keeps the tail parallel while still batching tiny partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize the Python worker round trip for the

@@ -126,3 +126,30 @@ def test_stable_sort_order_is_stable():
     ts = np.array([5, 1, 5, 1, 5], dtype=np.int64)
     order = stable_sort_order(ts)
     assert list(order) == [1, 3, 0, 2, 4]
+
+
+def test_inversion_threshold_is_a_config_knob():
+    """Sort-algorithm selection (reference BackwardSort.INVERSION_RATIOS_
+    THRESHOLD as a config): the regime switch is a per-call parameter, not
+    a baked-in constant — 0 forces the reencode path, 1 forces rotations,
+    both produce the identical canonical sorted encoding."""
+    from sorting_compressed_time_series_spark.codecs.bytealigned import (
+        delta_decode as _dd,
+        varint_decode as _vd,
+    )
+
+    ts = (np.arange(200, dtype=np.int64) * 10)
+    ts[50] = 471   # two displaced points (the reencode switch needs
+    ts[120] = 1171  # inversions > max(1, n*threshold))
+    vs = np.arange(200, dtype=np.int64)
+    t_lo, v_lo, lin_lo = compressed_sort(
+        delta_encode(ts), varint_encode(vs), inversion_threshold=0.0
+    )
+    t_hi, v_hi, lin_hi = compressed_sort(
+        delta_encode(ts), varint_encode(vs), inversion_threshold=1.0
+    )
+    assert lin_lo["path"] == "reencode"
+    assert lin_hi["path"] == "rotate"
+    assert np.array_equal(_dd(t_lo), _dd(t_hi))
+    assert np.array_equal(_vd(v_lo), _vd(v_hi))
+    assert t_lo.vals.tobytes() == t_hi.vals.tobytes()

@@ -105,3 +105,44 @@ def test_warehouse_partition_pruning(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "p_day" in pf[0], plan
     assert back.count() == 300
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark):
+    """exact_dedup's exchange must carry a fixed-width (hash, length) key,
+    never the corpus text (at 10^12 docs the groupBy key would otherwise BE
+    the corpus)."""
+    from sorting_compressed_time_series_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(exact_dedup(docs), mode="simple")
+    assert "xxhash64" in plan, plan  # the shuffle key is the 64-bit hash
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan
+    for l in exchanges:
+        # grouping keys are (bigint hash, int length) aliases — the raw
+        # text column must never appear in the partitioning expression
+        assert "norm_text" not in l and "text" not in l, l
+
+
+def test_tier1_unique_chunks_is_shuffle_free(spark, tmp_path):
+    """With one chunk per doc (single flush), rollup_tier1(unique_doc_chunks
+    =True) must plan NO exchange at all: decode partials are final and the
+    tier-1 write runs at scan parallelism."""
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.operators.rollup import rollup_tier1
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    path = str(tmp_path / "chunks")
+    flush(generate_tokens_df(spark, 50)).write.parquet(path)
+    chunks = spark.read.parquet(path)
+    plan = plan_of(rollup_tier1(chunks, 1_000_000, unique_doc_chunks=True), mode="simple")
+    assert "Exchange" not in plan, plan
+    # and it must equal the general (shuffled) path on this input
+    a = rollup_tier1(chunks, 1_000_000, unique_doc_chunks=True).toPandas()
+    b = rollup_tier1(chunks, 1_000_000).toPandas()
+    key = ["doc_id", "window_start"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)[a.columns]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
