@@ -49,18 +49,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc (n=1 → word set)."""
+    """Distinct word n-gram shingles per doc (n=1 → word set).
+
+    Built with nested ``zip_with(w, slice(w, k, …))`` rather than
+    ``transform(sequence(…), i -> w[i]…)``: the indexed form makes Catalyst
+    inline the (regex-split) definition of ``w`` into every per-element
+    ``w[i]`` access after projection collapse — measured ~20× slower.
+    zip_with iterates the arrays linearly; zip_with pads the shorter side
+    with NULL (concat → NULL), and the final slice trims those tails."""
     d = normalized(docs).withColumn("w", F.split("norm_text", " "))
     if n == 1:
         sh = F.array_distinct("w")
     else:
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(-1))),
-                lambda i: F.concat_ws(
-                    " ", *[F.col("w")[i + off] for off in range(n)]
-                ),
-            )
+        acc = "w"
+        for k in range(1, n):
+            acc = (f"zip_with({acc}, slice(w, {k + 1}, greatest(size(w)-{k}, 0)), "
+                   f"(a, b) -> concat(a, ' ', b))")
+        sh = F.expr(
+            f"array_distinct(slice({acc}, 1, greatest(size(w)-{n - 1}, 0)))"
         )
     return d.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
 
@@ -70,7 +76,10 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a<b) with |A∩B| / |A∪B| >= tau on word n-gram shingles."""
     sh = word_shingles(docs, n).withColumn("sz", F.size("shingles"))
-    ex = sh.select("doc_id", "sz", F.explode("shingles").alias("sh"))
+    # cache the exploded shingle set: it feeds the hot-shingle scan AND both
+    # sides of the self-join — without it the normalize/shingle expressions
+    # (the CPU-dominant part) re-run up to 3×
+    ex = sh.select("doc_id", "sz", F.explode("shingles").alias("sh")).cache()
     if max_df is not None:
         hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")

@@ -67,7 +67,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the testdata table is a single small parquet file → a 1-partition
+    # scan would run the (CPU-heavy) normalize/shingle expressions nearly
+    # single-threaded; production corpora arrive in many files and skip this
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
