@@ -122,6 +122,151 @@ def lsh_buckets(emb: DataFrame, n_bits: int = 8, seed: int = 7) -> DataFrame:
     )
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, lloyd_iters: int = 1,
+                  seed: int = 11) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seed centroids are the
+    ``n_centroids`` corpus vectors with the smallest splitmix64(vec_id)
+    (a uniform, reproducible sample — no RNG state), then ``lloyd_iters``
+    distributed k-means steps: assignment is a broadcast argmax inside
+    mapInArrow, the update collects only (n_centroids × dim) partial sums
+    per batch — the shuffle is centroid-sized, never corpus-sized."""
+    sample = (
+        emb.withColumn(
+            "h", F.xxhash64(F.col("vec_id") + F.lit(seed * 1_000_003))
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .select("embedding")
+        .collect()
+    )
+    cents = np.array([list(r.embedding) for r in sample], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    spark = emb.sparkSession
+    for _ in range(lloyd_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def psum(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            cm = bc.value
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                m = _emb_matrix(b.column("embedding"))
+                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax(mn @ cm.T, axis=1)
+                sums = np.zeros_like(cm)
+                np.add.at(sums, assign, mn)
+                counts = np.bincount(assign, minlength=len(cm))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.arange(len(cm), dtype=np.int64)),
+                        pa.array(sums.tolist(), type=pa.list_(pa.float64())),
+                        pa.array(counts.astype(np.int64)),
+                    ],
+                    names=["c", "vsum", "n"],
+                )
+
+        rows = (
+            emb.select("embedding")
+            .mapInArrow(psum, schema="c bigint, vsum array<double>, n bigint")
+            .groupBy("c")
+            .agg(
+                F.array(*[
+                    F.sum(F.col("vsum")[i]) for i in range(cents.shape[1])
+                ]).alias("vsum"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            if r.n and r.n > 0:
+                v = np.array(r.vsum, dtype=np.float64) / r.n
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    new[int(r.c)] = v / nv
+        cents = new
+        bc.destroy()
+    return cents
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, lloyd_iters: int = 1,
+             seed: int = 11) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest coarse
+    centroid (inverted lists), probe each query's ``nprobe`` closest
+    centroids, exact cosine rerank within the probed lists. Candidate
+    generation is a cluster-id equi-join — the classic IVF scale shape
+    (probing nprobe/n_centroids of the corpus on average)."""
+    cents = ivf_centroids(emb, n_centroids, lloyd_iters, seed)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign_kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cm = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _emb_matrix(b.column("embedding"))
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("vec_id"), pa.array(np.argmax(mn @ cm.T, axis=1))],
+                names=["vec_id", "cluster"],
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInArrow(
+        assign_kern, schema="vec_id bigint, cluster bigint"
+    )
+    withc = emb.join(assigned, "vec_id")
+
+    def probe_kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cm = bc.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            m = _emb_matrix(b.column("embedding"))
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mn @ cm.T), axis=1)[:, :nprobe]
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, nprobe)),
+                    pa.array(order.reshape(-1).astype(np.int64)),
+                ],
+                names=["query_id", "cluster"],
+            )
+
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .mapInArrow(probe_kern, schema="query_id bigint, cluster bigint")
+    )
+    q_emb = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        probes.join(F.broadcast(q_emb), "query_id")
+        .join(withc, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    scored = cand.withColumn(
+        "score", dot / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
              n_bits: int = 6, seed: int = 7, probe_radius: int = 1) -> DataFrame:
     """Approximate top-k: bucket candidates + exact cosine rerank.

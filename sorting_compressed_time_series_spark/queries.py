@@ -1084,6 +1084,15 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_bits=6, probe_radius=2)
 
 
+@q("ann_ivf_topk")  # rows-only: centroid assignment isn't SQL-portable
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (hash-sampled seeds + one
+    distributed Lloyd step) → inverted lists → nprobe cluster equi-join →
+    exact cosine rerank. Recall oracle in tests/test_training_ops.py."""
+    return SIM.ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
+                        n_centroids=16, nprobe=4)
+
+
 @q(
     "text_token_count",
     f"""

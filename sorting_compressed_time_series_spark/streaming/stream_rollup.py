@@ -56,12 +56,98 @@ def streaming_tier1(
     )
 
 
-def run_stream_to_memory(spark, src_df_stream: DataFrame, window_us: int,
-                         query_name: str = "stream_tier1") -> DataFrame:
+def streaming_session_tier(
+    points: DataFrame,
+    gap_us: int,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    key: str = "doc_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """SessionWindow as a STREAMING operator: Spark's native
+    ``session_window`` (dynamic-gap windows merged by the state store)
+    is the Structured-Streaming twin of operators/windows.session_windows
+    — same gap>threshold semantics, watermark-finalized."""
+    secs = gap_us / 1_000_000
+    sw = F.session_window(F.col(ts_col), f"{secs} seconds")
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), sw.alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_v"),
+        )
+        .select(
+            key,
+            F.unix_micros(F.col("sw.start")).alias("start_ts"),
+            F.unix_micros(F.col("sw.end")).alias("end_ts"),
+            "n_events",
+            "sum_v",
+        )
+    )
+
+
+def streaming_variation_delta(
+    points: DataFrame,
+    delta: float,
+    ts_col: str = "ts",
+    key: str = "doc_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """General VariationWindow (|v - anchor| > delta breaks the window) as
+    a CUSTOM STATEFUL streaming operator via ``applyInPandasWithState``:
+    no Spark built-in expresses anchored windows (the anchor is data-
+    dependent per window), and across micro-batches the operator must
+    remember (anchor, group id, running count) per series — exactly the
+    GroupState contract. Emits one row per (series, variation_group) per
+    batch with the RUNNING count (update semantics; the last emission per
+    group is final)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} string, variation_group bigint, cnt bigint, anchor double"
+    state_schema = "anchor double, gid bigint, cnt bigint"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            anchor, gid, cnt = state.get
+        else:
+            anchor, gid, cnt = None, 0, 0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            for x in v:  # anchored scan; batches are small per (series, trigger)
+                if anchor is None:
+                    anchor = float(x)
+                elif abs(x - anchor) > delta:
+                    rows.append((key_tuple[0], gid, cnt, anchor))
+                    gid += 1
+                    cnt = 0
+                    anchor = float(x)
+                cnt += 1
+        if cnt > 0:
+            rows.append((key_tuple[0], gid, cnt, anchor))
+        state.update((anchor, gid, cnt))
+        yield pd.DataFrame(rows, columns=[key, "variation_group", "cnt", "anchor"])
+
+    return points.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_stream_to_memory(spark, src_df_stream: DataFrame, window_us: int | None = None,
+                         query_name: str = "stream_tier1",
+                         agg: DataFrame | None = None,
+                         output_mode: str = "append") -> DataFrame:
     """Drive a bounded source to completion synchronously (test/demo mode)."""
-    agg = streaming_tier1(src_df_stream, window_us)
+    if agg is None:
+        agg = streaming_tier1(src_df_stream, window_us)
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()

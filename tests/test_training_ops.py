@@ -106,6 +106,23 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"ANN LSH recall {recall}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = SIM.brute_force_topk(emb, n_queries=10, k=5).toPandas()
+    ivf = SIM.ivf_topk(emb, n_queries=10, k=20, n_centroids=16, nprobe=6).toPandas()
+    bf_pairs = set(zip(bf.query_id, bf.neighbor_id))
+    ivf_pairs = set(zip(ivf.query_id, ivf.neighbor_id))
+    recall = len(bf_pairs & ivf_pairs) / len(bf_pairs)
+    # probing 6/16 lists on 64-dim random vectors: high-cosine neighbors
+    # concentrate in the query's nearest lists
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # determinism: the quantizer is hash-seeded, no RNG state
+    again = SIM.ivf_topk(emb, n_queries=10, k=20, n_centroids=16, nprobe=6).toPandas()
+    assert ivf.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def test_multimodal_stub_and_plumbing(spark, docs):
     payload = MM.to_binary_payload(docs)
     stats = MM.binary_stats(payload).toPandas()
