@@ -185,6 +185,43 @@ class Pipeline:
             wh.clear_pending("chunks_tier0")
         return summary
 
+    # --- maintenance: compaction ------------------------------------------
+    def compact(self, min_chunks: int = 2) -> dict:
+        """Merge every series with ≥ ``min_chunks`` tier-0 chunks into one
+        chunk (the reference's compaction stage; page-merge kernel: splice
+        fast path for disjoint chunks, stable k-merge for overlap) and
+        commit a consolidated snapshot. The point set is preserved exactly,
+        so promoted tiers stay valid and are untouched. Refuses to run
+        over un-promoted appends: the consolidating write would retire the
+        pending-segment bookkeeping the next MERGE promotion needs."""
+        from pyspark.sql import functions as F  # local: keep module header lean
+
+        from ..operators.compaction import compact_chunks
+
+        wh = self.warehouse
+        if wh.pending_appends("chunks_tier0"):
+            raise ValueError("promote_all() before compact(): pending appends")
+        chunks = wh.read(self.spark, "chunks_tier0")
+        t0 = chunks.filter(F.col("tier") == 0)
+        multi = (
+            t0.groupBy("doc_id").count()
+            .filter(F.col("count") >= min_chunks)
+            .select("doc_id")
+        )
+        n_multi = multi.count()
+        if n_multi == 0:
+            return {"compacted_docs": 0}
+        merged = compact_chunks(t0.join(F.broadcast(multi), "doc_id", "left_semi"))
+        # keep: single-chunk docs' tier-0 rows untouched, and ALL tier=-1
+        # partial rows (they are per (doc, window) aggregates of the same
+        # points — still valid after the merge)
+        singles = t0.drop("p_day").join(F.broadcast(multi), "doc_id", "left_anti")
+        partials = chunks.drop("p_day").filter(F.col("tier") == -1)
+        out = singles.unionByName(merged).unionByName(partials)
+        wh.write(with_p_day(out), "chunks_tier0", partition_by=("p_day",),
+                 watermark_us=None, op=f"compact:{n_multi}")
+        return {"compacted_docs": int(n_multi)}
+
     # --- stage 3: retention ----------------------------------------------
     def retain(self, now_us: int) -> list[dict]:
         out = []

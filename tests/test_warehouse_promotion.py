@@ -164,3 +164,41 @@ def test_incremental_append_equals_oneshot(spark, tmp_path_factory):
 
     # a third, empty-delta promotion is a no-op at every tier
     assert [e["mode"] for e in p2.promote_all()] == ["noop", "noop"]
+
+
+def test_pipeline_compact_after_append(spark, tmp_path_factory):
+    """Maintenance compaction after appends: every multi-chunk doc merges
+    to ONE chunk, the compacted warehouse's tiers are untouched-and-valid
+    (a re-promotion is a no-op and the tier tables equal the pre-compaction
+    ones), and compacting over un-promoted appends is refused."""
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_cmp")))
+    p = Pipeline(spark, wh, _tiers())
+    p.ingest(generate_tokens_df(spark, 50, SEED), SEED)
+    p.promote_all()
+    p.ingest(generate_tokens_df(spark, 30, SEED, start=50), SEED, append=True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pending appends"):
+        p.compact()
+
+    p.promote_all()
+    before = {s.name: _collect(wh.read(spark, s.name)) for s in _tiers()}
+    # the appended docs wrote a second segment; force >=2 chunks for a doc
+    # by appending the SAME doc range again (older data is fine)
+    p.ingest(generate_tokens_df(spark, 10, SEED, start=50), SEED, append=True)
+    p.promote_all()
+    before = {s.name: _collect(wh.read(spark, s.name)) for s in _tiers()}
+
+    summary = p.compact()
+    assert summary["compacted_docs"] >= 10, summary
+    per_doc = (
+        wh.read(spark, "chunks_tier0").filter("tier = 0")
+        .groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_doc == 1
+    # tiers untouched and a re-promotion is a no-op
+    assert all(e["mode"] == "noop" for e in p.promote_all())
+    for s in _tiers():
+        after = _collect(wh.read(spark, s.name))
+        pd.testing.assert_frame_equal(before[s.name], after[before[s.name].columns], check_dtype=False)
