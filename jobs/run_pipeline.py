@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--now-us", type=int, default=None)
     ap.add_argument("--resume", action="store_true",
                     help="skip ingest; resume promotion from the checkpoint")
+    ap.add_argument("--append-docs", type=int, default=0,
+                    help="after the base ingest+promotion, append this many "
+                         "further docs (manifest-add segment) and re-promote "
+                         "(per-key MERGE of just the appended docs' windows)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after promotion, merge multi-chunk series into one "
+                         "chunk each (maintenance compaction)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -55,8 +62,20 @@ def main() -> None:
         out["t_ingest"] = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    p.promote_all()
+    out["promotion"] = p.promote_all()
     out["t_promote"] = round(time.perf_counter() - t0, 2)
+
+    if args.append_docs:
+        t0 = time.perf_counter()
+        p.ingest(generate_tokens_df(spark, args.append_docs, args.seed,
+                                    start=args.docs), args.seed, append=True)
+        out["promotion_after_append"] = p.promote_all()
+        out["t_append"] = round(time.perf_counter() - t0, 2)
+
+    if args.compact:
+        t0 = time.perf_counter()
+        out["compaction"] = p.compact()
+        out["t_compact"] = round(time.perf_counter() - t0, 2)
 
     if args.now_us is not None:
         out["retention"] = p.retain(args.now_us)
