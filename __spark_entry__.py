@@ -2,8 +2,8 @@
 
 ``entry``   — flagship: tokens → seriesize → flush (compressed-domain
               sort + encode) → tier rollup cascade, on sf0.001-scale input.
-``queries`` — every implemented operator from SURVEY.md §2 (52 entries).
-``oracle_sql`` — DuckDB equivalents for the 43 SQL-expressible ones;
+``queries`` — every implemented operator from SURVEY.md §2 (53 entries).
+``oracle_sql`` — DuckDB equivalents for the 44 SQL-expressible ones;
               the 9 others (hash/centroid-based LSH/SimHash/IVF candidates,
               the synthetic tokens pipeline whose generator can't run
               inside DuckDB) are rows-only here and exact-oracle-tested

@@ -217,9 +217,12 @@ def _machine_ceiling(cpus: int) -> dict:
             p.map(_burn, range(n))
             return n * _BURN_WORK / (time.perf_counter() - t)
 
-    thr1 = _BURN_WORK / _burn(0)
+    # best-of-2 per level: a steal burst during the 1-proc baseline would
+    # otherwise inflate every relative number (observed rel 9.33 at 8 procs)
+    thr1 = max(_BURN_WORK / _burn(0) for _ in range(2))
     lo, hi = max(cpus // 4, 2), cpus
-    thr_lo, thr_hi = _one(lo), _one(hi)
+    thr_lo = max(_one(lo) for _ in range(2))
+    thr_hi = max(_one(hi) for _ in range(2))
     return {
         "cores": [1, lo, hi],
         "rel_throughput": [1.0, round(thr_lo / thr1, 2), round(thr_hi / thr1, 2)],
@@ -372,10 +375,14 @@ def main() -> None:
                 break
             if out_of_time and len(runs) == 2:
                 break
-        picked = clean_runs if len(clean_runs) == 2 else runs
-        thr_lo = picked[lo_cores]["tokens_per_sec"]
-        thr_hi = picked[cpus]["tokens_per_sec"]
-        runs = picked
+        # estimator: per-config MAX over ALL reps. Steal only ever
+        # subtracts throughput, so the max is the least-biased estimate of
+        # the clean machine; the endpoint gauges CANNOT veto it (a storm
+        # can live entirely between two quiet gauges — observed: a
+        # clean-gauged rep with a 43 s flush next to a dirty-gauged 4 M/s
+        # rep). clean_pair + per-rep gauges are reported as evidence.
+        thr_lo = runs[lo_cores]["tokens_per_sec"]
+        thr_hi = runs[cpus]["tokens_per_sec"]
         result["scaling"] = {
             "cores_lo": lo_cores,
             "cores_hi": cpus,

@@ -42,6 +42,65 @@ def decode_media(payload_df: DataFrame) -> DataFrame:
     )
 
 
+def frame_sample(payload_df: DataFrame, frame_bytes: int = 64,
+                 every_k: int = 4) -> DataFrame:
+    """Frame-sampling plumbing (video keyframe extraction shape): treat the
+    payload as consecutive fixed-size frames, emit every ``every_k``-th
+    COMPLETE frame as its own binary row (doc_id, frame_idx, frame).
+
+    All offset arithmetic is vectorized over the batch's Arrow buffer and
+    the exploded frame buffer is built by ONE gather — the real decode
+    would replace the byte-slice with a pixel decode, the batch shape and
+    zero-per-row-Python plumbing are exactly this."""
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            col = b.column("payload")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            bufs = col.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                col.offset : col.offset + len(col) + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, np.uint8)
+            )
+            lens = np.diff(offs)
+            n_frames = lens // frame_bytes
+            n_sampled = (n_frames + every_k - 1) // every_k
+            total = int(n_sampled.sum())
+            doc_idx = np.repeat(np.arange(len(lens)), n_sampled)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(n_sampled) - n_sampled, n_sampled
+            )
+            frame_idx = within * every_k
+            starts = offs[:-1][doc_idx] + frame_idx * frame_bytes
+            gather = (
+                np.repeat(starts, frame_bytes)
+                + np.tile(np.arange(frame_bytes, dtype=np.int64), total)
+            )
+            out_buf = data[gather] if total else np.empty(0, np.uint8)
+            out_offs = np.arange(total + 1, dtype=np.int32) * frame_bytes
+            frames = pa.Array.from_buffers(
+                pa.binary(), total,
+                [None, pa.py_buffer(out_offs), pa.py_buffer(out_buf)],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id").take(pa.array(doc_idx)),
+                    pa.array(frame_idx),
+                    frames,
+                ],
+                names=["doc_id", "frame_idx", "frame"],
+            )
+
+    return payload_df.select("doc_id", "payload").mapInArrow(
+        kern, schema="doc_id bigint, frame_idx bigint, frame binary"
+    )
+
+
 def binary_stats(payload_df: DataFrame) -> DataFrame:
     """Deterministic 'feature extractor' over the binary payload: byte
     length, first byte, a byte-histogram checksum — vectorized over the

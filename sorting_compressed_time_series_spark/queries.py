@@ -1055,6 +1055,27 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 @q(
+    "multimodal_frame_sample",
+    """
+    WITH p AS (SELECT doc_id, encode(text) AS b FROM documents)
+    SELECT doc_id,
+           unnest(generate_series(0, octet_length(b)//16 - 1, 3)) AS frame_idx
+    FROM p
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over the binary payload (video keyframe shape):
+    every 3rd complete 16-byte frame as its own row — Arrow-buffer offset
+    arithmetic + one gather, zero per-row Python. Byte-exactness oracle in
+    tests/test_training_ops.py; the SQL oracle checks the sampled frame
+    index set."""
+    out = MM.frame_sample(
+        MM.to_binary_payload(_documents(spark, sf_dir)), frame_bytes=16, every_k=3
+    )
+    return out.select("doc_id", "frame_idx")
+
+
+@q(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -53,8 +53,12 @@ def synth_timestamps(
     ts = t0 + positions * STEP_US + jitter
     ooo = ((h >> np.uint64(16)) % np.uint64(OOO_RATE)) == 0
     ooo &= positions > 0
-    disp = (((h >> np.uint64(32)) % np.uint64(OOO_MAX_DISP))).astype(np.int64) + 1
-    ts[ooo] -= disp[ooo]
+    # displacement only materialized on the ~2% displaced subset (the
+    # full-size modulo+cast passes were ~1/3 of this kernel's traffic)
+    idx = np.flatnonzero(ooo)
+    if len(idx):
+        disp = ((h[idx] >> np.uint64(32)) % np.uint64(OOO_MAX_DISP)).astype(np.int64) + 1
+        ts[idx] -= disp
     return ts
 
 

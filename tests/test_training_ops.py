@@ -131,3 +131,22 @@ def test_multimodal_stub_and_plumbing(spark, docs):
     assert (merged.n_bytes == merged.n).all()
     with pytest.raises(NotImplementedError):
         MM.decode_media(payload)
+
+
+def test_multimodal_frame_sample(spark, docs):
+    """frame_sample == python slicing oracle: every k-th complete
+    fixed-size frame, exact bytes, per doc."""
+    fb, k = 16, 3
+    payload = MM.to_binary_payload(docs)
+    got = MM.frame_sample(payload, frame_bytes=fb, every_k=k).toPandas()
+    raw = docs.select("doc_id", "text").toPandas()
+    want = {}
+    for _, r in raw.iterrows():
+        b = r.text.encode("utf-8")
+        for fi in range(0, len(b) // fb, k):
+            want[(r.doc_id, fi)] = b[fi * fb:(fi + 1) * fb]
+    got_map = {
+        (r.doc_id, r.frame_idx): bytes(r.frame) for _, r in got.iterrows()
+    }
+    assert got_map == want
+    assert all(len(v) == fb for v in got_map.values())
