@@ -41,6 +41,8 @@ from .chunk import (  # noqa: F401
     CODEC_DELTA,
     CODEC_DOD,
     CODEC_GORILLA,
+    CODEC_GORILLA_F64,
+    CODEC_TS2DIFF,
     CODEC_VARINT,
     chunk_stats,
     decode_chunk,

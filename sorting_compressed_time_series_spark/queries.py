@@ -89,60 +89,86 @@ _ENC_SCHEMA = (
 )
 
 
+def _collected_series(ev: DataFrame, *value_cols: str) -> DataFrame:
+    """Per-user point arrays, sorted JVM-side: groupBy(user) →
+    sort_array(collect_list(struct(ts_us, event_id, *values))).  Replaces the
+    old per-group ``applyInPandas`` (which built a one-row pandas frame per
+    group): the sort runs in whole-stage codegen and the downstream kernel
+    sees whole Arrow batches of complete series — no per-group Python."""
+    fields = ["ts_us", "event_id", *value_cols]
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("pts")
+    )
+
+
+def _pts_np(b: pa.RecordBatch) -> tuple[np.ndarray, pa.StructArray, np.ndarray]:
+    """(user_id int64, flat point structs, row splits) from a collected batch."""
+    uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pts = b.column("pts")
+    if isinstance(pts, pa.ChunkedArray):
+        pts = pts.combine_chunks()
+    offs = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uid, pts.flatten(), offs - offs[0]
+
+
 def _encode_user_series(spark: SparkSession, sf_dir: str, value_expr: str = "q",
                         codec_pair: tuple[int, int] = (CODEC_DELTA, CODEC_VARINT)) -> DataFrame:
-    """events → one chunk per user: sort by (ts, event_id), encode through
-    the byte-aligned (or bit-packed) codec pair. applyInPandas: 150-20k
-    groups, numpy inside."""
+    """events → one chunk per user: sort by (ts, event_id) JVM-side, encode
+    ALL series of each Arrow batch through the batched codec kernels
+    (``codecs.batched.encode_chunk_rows``) — no per-group Python at all."""
+    from .codecs.batched import encode_chunk_rows
+    from .operators.ingest import _binary_from_buffers
+
     ev = _events(spark, sf_dir).select(
-        "user_id", "ts_us", F.expr(value_expr).alias("v"), "event_id"
+        "user_id", "ts_us", "event_id", F.expr(value_expr).alias("v")
     )
     t_codec, v_codec = codec_pair
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
-        ts = pdf["ts_us"].to_numpy(np.int64)
-        vals = pdf["v"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "count": [len(ts)],
-                "min_ts": [ts.min()],
-                "max_ts": [ts.max()],
-                "time_blob": [encode_chunk(ts, t_codec)],
-                "value_blob": [encode_chunk(vals, v_codec)],
-            }
-        )
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            uid, flat, splits = _pts_np(b)
+            ts = flat.field("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = flat.field("v").to_numpy(zero_copy_only=False)
+            t_buf, t_sp = encode_chunk_rows(ts, splits, t_codec)
+            v_buf, v_sp = encode_chunk_rows(vals, splits, v_codec)
+            counts = np.diff(splits)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uid),
+                    pa.array(counts.astype(np.int32)),
+                    pa.array(ts[splits[:-1]]),  # sorted → positional min/max
+                    pa.array(ts[splits[1:] - 1]),
+                    _binary_from_buffers(t_buf, t_sp),
+                    _binary_from_buffers(v_buf, v_sp),
+                ],
+                names=["user_id", "count", "min_ts", "max_ts", "time_blob", "value_blob"],
+            )
 
-    return ev.groupBy("user_id").applyInPandas(kern, schema=_ENC_SCHEMA)
+    pts = _collected_series(ev, "v")
+    return pts.mapInArrow(kern, schema=_ENC_SCHEMA)
 
 
 def _decode_user_series(chunks: DataFrame, out_value: str) -> DataFrame:
     from .operators.rollup import _blob_np
 
-    def _plane(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        """Decode one blob column: whole-batch `decode_rows` for the
-        byte-aligned codecs, per-row `decode_chunk` dispatch otherwise
-        (bit-packed DOD / Gorilla blobs)."""
-        buf, splits = _blob_np(col)
-        codec = int(buf[splits[0] + 3]) if len(buf) else -1
-        if codec in (CODEC_DELTA, CODEC_VARINT):
-            from .codecs.batched import decode_rows
+    def _plane(col: pa.Array) -> np.ndarray:
+        """Decode one blob column with the codec-dispatching batched kernel
+        (byte-aligned, DOD and Gorilla are all whole-batch numpy)."""
+        from .codecs.batched import decode_chunk_rows
 
-            vals, _ = decode_rows(buf, splits)
-            return vals, np.array([])
-        rows = [np.asarray(decode_chunk(buf[splits[i]:splits[i + 1]].tobytes()))
-                for i in range(len(splits) - 1)]
-        counts = np.array([len(r) for r in rows], dtype=np.int64)
-        return (np.concatenate(rows) if rows else np.empty(0, np.int64)), counts
+        buf, splits = _blob_np(col)
+        vals, _ = decode_chunk_rows(buf, splits)
+        return vals
 
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             if b.num_rows == 0:
                 continue
             uid = b.column("user_id").to_numpy(zero_copy_only=False)
-            ts, _ = _plane(b.column("time_blob"))
-            vs, _ = _plane(b.column("value_blob"))
+            ts = _plane(b.column("time_blob"))
+            vs = _plane(b.column("value_blob"))
             # per-row counts from the time plane headers
             tbuf, tsp = _blob_np(b.column("time_blob"))
             counts = np.zeros(b.num_rows, dtype=np.int64)
@@ -213,25 +239,11 @@ def roundtrip_bytealigned(spark, sf_dir):
 )
 def roundtrip_bitpacked(spark, sf_dir):
     """Delta-of-delta timestamps + Gorilla-XOR double values end-to-end
-    (reference DeltaDeltaLongEncoder + DoublePrecisionEncoderV2 pair)."""
-    ev = _events(spark, sf_dir).select("user_id", "ts_us", "value", "event_id")
-
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "count": [len(pdf)],
-                "min_ts": [pdf["ts_us"].min()],
-                "max_ts": [pdf["ts_us"].max()],
-                "time_blob": [encode_chunk(pdf["ts_us"].to_numpy(np.int64), CODEC_DOD)],
-                "value_blob": [
-                    encode_chunk(pdf["value"].to_numpy(np.float64), CODEC_GORILLA_F64)
-                ],
-            }
-        )
-
-    chunks = ev.groupBy("user_id").applyInPandas(enc, schema=_ENC_SCHEMA)
+    (reference DeltaDeltaLongEncoder + DoublePrecisionEncoderV2 pair),
+    through the batched multi-series kernels."""
+    chunks = _encode_user_series(
+        spark, sf_dir, value_expr="value", codec_pair=(CODEC_DOD, CODEC_GORILLA_F64)
+    )
     return _decode_user_series(chunks, "value")
 
 
@@ -259,35 +271,47 @@ def compressed_sort_q(spark, sf_dir):
         _events(spark, sf_dir)
         .select(
             "user_id",
-            "ts_us",
+            F.col("ts_us").alias("real_ts"),
             "event_id",
             (
                 F.col("ts_us")
                 - F.when(F.col("event_id") % 37 == 0, F.lit(7_200_000_000)).otherwise(0)
-            ).alias("arrival_key"),
+            ).alias("ts_us"),  # arrival key drives the JVM-side sort
         )
     )
 
     schema = "user_id bigint, seq bigint, ts_us bigint, event_id bigint"
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["arrival_key", "event_id"], kind="stable")
-        # arrival stream: displaced timestamps make it nearly-sorted
-        td = delta_encode(pdf["ts_us"].to_numpy(np.int64))
-        vd = varint_encode(pdf["event_id"].to_numpy(np.int64))
-        td, vd, _ = compressed_sort(td, vd)
-        ts = delta_decode(td)
-        ev_ids = varint_decode(vd)
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "seq": np.arange(1, len(ts) + 1),
-                "ts_us": ts,
-                "event_id": ev_ids,
-            }
-        )
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            uid, flat, splits = _pts_np(b)
+            # arrival order = (arrival_key, event_id) — the collected sort key
+            all_ts = flat.field("real_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+            all_ids = flat.field("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            out_ts, out_ids, counts = [], [], np.empty(b.num_rows, np.int64)
+            for i in range(b.num_rows):  # rotation sorter is per-series by design
+                td = delta_encode(all_ts[splits[i] : splits[i + 1]])
+                vd = varint_encode(all_ids[splits[i] : splits[i + 1]])
+                td, vd, _ = compressed_sort(td, vd)
+                out_ts.append(delta_decode(td))
+                out_ids.append(varint_decode(vd))
+                counts[i] = len(out_ts[-1])
+            seq = np.arange(1, len(all_ts) + 1) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(uid, counts)),
+                    pa.array(seq),
+                    pa.array(np.concatenate(out_ts)),
+                    pa.array(np.concatenate(out_ids)),
+                ],
+                names=["user_id", "seq", "ts_us", "event_id"],
+            )
 
-    return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
+    return _collected_series(ev, "real_ts").mapInArrow(kern, schema=schema)
 
 
 # -- rollups ------------------------------------------------------------------
@@ -1384,26 +1408,32 @@ def udaf_median(spark, sf_dir):
 def aligned_series_scan(spark, sf_dir):
     """AlignedSeriesScanOperator: one time plane shared by multiple value
     planes — encode ts once, two value columns (q, event_id) as separate
-    varint planes, decode all three in lockstep."""
-    ev = _events(spark, sf_dir).select("user_id", "ts_us", "q", "event_id")
+    varint planes, decode all three in lockstep (batched kernels, whole
+    Arrow batches of series per call)."""
+    from .codecs.batched import decode_chunk_rows, encode_chunk_rows
 
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "q", "event_id")
     schema = "user_id bigint, ts_us bigint, q bigint, event_id bigint"
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
-        t = encode_chunk(pdf["ts_us"].to_numpy(np.int64), CODEC_DELTA)
-        v1 = encode_chunk(pdf["q"].to_numpy(np.int64), CODEC_VARINT)
-        v2 = encode_chunk(pdf["event_id"].to_numpy(np.int64), CODEC_VARINT)
-        return pd.DataFrame(
-            {
-                "user_id": pdf["user_id"].iloc[0],
-                "ts_us": decode_chunk(t),
-                "q": decode_chunk(v1),
-                "event_id": decode_chunk(v2),
-            }
-        )
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            uid, flat, splits = _pts_np(b)
+            planes = []
+            for name, codec in (
+                ("ts_us", CODEC_DELTA), ("q", CODEC_VARINT), ("event_id", CODEC_VARINT)
+            ):
+                raw = flat.field(name).to_numpy(zero_copy_only=False).astype(np.int64)
+                buf, sp = encode_chunk_rows(raw, splits, codec)
+                planes.append(decode_chunk_rows(buf, sp)[0])
+            counts = np.diff(splits)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(uid, counts))] + [pa.array(p) for p in planes],
+                names=["user_id", "ts_us", "q", "event_id"],
+            )
 
-    return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
+    return _collected_series(ev, "q").mapInArrow(kern, schema=schema)
 
 
 @q(
@@ -1518,15 +1548,30 @@ def compaction_merge(spark, sf_dir):
     ev = _events(spark, sf_dir).select("user_id", "ts_us", "event_id")
     schema = "user_id bigint, ts_us bigint, event_id bigint"
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_us", "event_id"], kind="stable")
-        ts = pdf["ts_us"].to_numpy(np.int64)
-        ids = pdf["event_id"].to_numpy(np.int64)
-        tp = [_de(ts[0::2]), _de(ts[1::2])]
-        vp = [_ve(ids[0::2]), _ve(ids[1::2])]
-        mt, mv, _ = _mp(tp, vp)
-        return pd.DataFrame(
-            {"user_id": pdf["user_id"].iloc[0], "ts_us": _dd(mt), "event_id": _vd(mv)}
-        )
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            uid, flat, splits = _pts_np(b)
+            all_ts = flat.field("ts_us").to_numpy(zero_copy_only=False).astype(np.int64)
+            all_ids = flat.field("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            out_ts, out_ids, counts = [], [], np.empty(b.num_rows, np.int64)
+            for i in range(b.num_rows):  # merge kernel is per-series by design
+                ts = all_ts[splits[i] : splits[i + 1]]
+                ids = all_ids[splits[i] : splits[i + 1]]
+                mt, mv, _ = _mp(
+                    [_de(ts[0::2]), _de(ts[1::2])], [_ve(ids[0::2]), _ve(ids[1::2])]
+                )
+                out_ts.append(_dd(mt))
+                out_ids.append(_vd(mv))
+                counts[i] = len(out_ts[-1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(uid, counts)),
+                    pa.array(np.concatenate(out_ts)),
+                    pa.array(np.concatenate(out_ids)),
+                ],
+                names=["user_id", "ts_us", "event_id"],
+            )
 
-    return ev.groupBy("user_id").applyInPandas(kern, schema=schema)
+    return _collected_series(ev).mapInArrow(kern, schema=schema)
