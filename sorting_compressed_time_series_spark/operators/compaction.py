@@ -8,10 +8,13 @@ not overlap (one patched boundary delta per seam, interiors untouched),
 stable k-way merge otherwise.
 
 Physical shape: ``groupBy(doc_id).applyInPandas`` — chunk rows are tiny
-(blobs of a few KB), so the shuffle moves compressed bytes, never points.
-At 100 TB this is the standard "read tier-k, merge, write tier-k"
-maintenance job; bucketing the chunk table by doc_id makes it
-shuffle-free on a real cluster.
+(blobs of a few KB), so a shuffle (when one happens) moves compressed
+bytes, never points.  When the chunk table was committed with
+``bucket_by=("doc_id", N)`` (Warehouse bucketed snapshots — the Iceberg
+``bucket(doc_id, N)`` stand-in) and is read through the session catalog,
+the scan reports ``HashPartitioning(doc_id, N)``, the groupBy's required
+distribution is already satisfied, and compaction runs with NO exchange
+at all (plan-audited in tests/test_plans.py).
 """
 
 from __future__ import annotations

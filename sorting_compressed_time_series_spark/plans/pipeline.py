@@ -58,6 +58,12 @@ class Pipeline:
     # the decode-based tier1 (`rollup_tier1`) is vectorized CPU that scales
     # with cores while the extra write IO does not.
     emit_partials: bool = False
+    # hash-bucket count for the chunk table (Iceberg ``bucket(doc_id, N)``
+    # stand-in): snapshots are written hash-clustered by doc_id so that
+    # same-session compaction / per-doc merges read the clustering from the
+    # scan and need no exchange. Sized to local cores; a real cluster sizes
+    # it to (table bytes / target task bytes).
+    n_buckets: int = 32
 
     # --- stage 1: ingest+flush ------------------------------------------
     def ingest(self, tokens_df: DataFrame, seed: int = 42,
@@ -73,7 +79,8 @@ class Pipeline:
                                           partition_by=("p_day",), op="append")
         else:
             self.warehouse.write(chunks, "chunks_tier0", partition_by=("p_day",),
-                                 watermark_us=None, op="ingest")
+                                 watermark_us=None, op="ingest",
+                                 bucket_by=("doc_id", self.n_buckets))
         return self.warehouse.read(self.spark, "chunks_tier0")
 
     # --- stage 2: promotion with checkpoint ------------------------------
@@ -218,8 +225,12 @@ class Pipeline:
         singles = t0.drop("p_day").join(F.broadcast(multi), "doc_id", "left_anti")
         partials = chunks.drop("p_day").filter(F.col("tier") == -1)
         out = singles.unionByName(merged).unionByName(partials)
+        # re-cluster on write: the consolidated snapshot is bucketed again,
+        # so the NEXT compaction/merge over it is exchange-free even after
+        # appends broke the previous clustering
         wh.write(with_p_day(out), "chunks_tier0", partition_by=("p_day",),
-                 watermark_us=None, op=f"compact:{n_multi}")
+                 watermark_us=None, op=f"compact:{n_multi}",
+                 bucket_by=("doc_id", self.n_buckets))
         return {"compacted_docs": int(n_multi)}
 
     # --- stage 3: retention ----------------------------------------------

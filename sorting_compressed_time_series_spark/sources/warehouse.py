@@ -56,7 +56,8 @@ class Warehouse:
         os.replace(tmp, self._manifest_path(table))  # the atomic commit point
 
     def _commit(self, table: str, snapshot_dir: str, watermark_us: int | None,
-                lineage_entry: dict) -> None:
+                lineage_entry: dict, schema_json: str | None = None,
+                bucket_spec: list | None = None) -> None:
         m = self.manifest(table)
         old_dirs = ([m["snapshot"]] if m["snapshot"] else []) + m.get("segments", [])
         m["snapshot"] = snapshot_dir
@@ -65,6 +66,12 @@ class Warehouse:
         m["version"] += 1
         if watermark_us is not None:
             m["watermark_us"] = watermark_us
+        if schema_json is not None:
+            # persisted so a fully-expired table still reads as an EMPTY
+            # frame with the right schema (retention is a partition drop
+            # that can hollow out every live dir)
+            m["schema"] = schema_json
+        m["bucket_spec"] = bucket_spec  # [col, n_buckets] or None
         m["lineage"] = (m["lineage"] + [dict(lineage_entry, ts=time.time(),
                                              version=m["version"])])[-50:]
         self._swap_manifest(table, m)
@@ -73,16 +80,45 @@ class Warehouse:
                 shutil.rmtree(os.path.join(self.root, table, d), ignore_errors=True)
 
     # -- io ----------------------------------------------------------------
+    def _catalog_name(self, table: str) -> str:
+        # session-catalog identifier for bucket-aware reads of this table
+        return "wh_" + "".join(c if c.isalnum() else "_" for c in
+                               os.path.abspath(os.path.join(self.root, table)))
+
     def write(self, df: DataFrame, table: str, *, partition_by: tuple[str, ...] = (),
-              watermark_us: int | None = None, op: str = "overwrite") -> None:
+              watermark_us: int | None = None, op: str = "overwrite",
+              bucket_by: tuple[str, int] | None = None) -> None:
+        """Commit a new snapshot. With ``bucket_by=(col, n)`` the snapshot is
+        written as a Spark BUCKETED table (hash-clustered + sorted by ``col``
+        within each of ``n`` buckets — the stand-in for Iceberg
+        ``bucket(col, n)``): any same-session groupBy/join on ``col`` then
+        reads the clustering from the scan and needs NO exchange (compaction
+        and per-key MERGE promotion become shuffle-free, see
+        operators/compaction.py). Cross-session reads fall back to plain
+        parquet — still correct, just re-shuffling."""
         m = self.manifest(table)
         snap = f"snap-{m['version'] + 1}"
         path = os.path.join(self.root, table, snap)
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
-        self._commit(table, snap, watermark_us, {"op": op, "partition_by": partition_by})
+        if bucket_by is not None:
+            col, n = bucket_by
+            name = self._catalog_name(table)
+            spark = df.sparkSession
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            w = df.write.mode("overwrite").option("path", path)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.bucketBy(n, col).sortBy(col).format("parquet").saveAsTable(name)
+            bucket_spec = [col, n]
+        else:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(path)
+            bucket_spec = None
+        self._commit(table, snap, watermark_us,
+                     {"op": op, "partition_by": partition_by,
+                      "bucket_by": bucket_spec},
+                     schema_json=df.schema.json(), bucket_spec=bucket_spec)
 
     def append_segment(self, df: DataFrame, table: str, *,
                        partition_by: tuple[str, ...] = (), op: str = "append") -> str:
@@ -114,23 +150,56 @@ class Warehouse:
         m = self.manifest(table)
         return ([m["snapshot"]] if m["snapshot"] else []) + m.get("segments", [])
 
+    def _empty_frame(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Empty DataFrame with the persisted schema (None for pre-schema
+        manifests)."""
+        m = self.manifest(table)
+        if not m.get("schema"):
+            return None
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+
+    @staticmethod
+    def _is_hollow(path: str) -> bool:
+        """True if the dir has no data entries (retention can drop every
+        partition of a snapshot/segment, leaving only _SUCCESS)."""
+        return not (os.path.isdir(path)
+                    and any(not e.startswith("_") for e in os.listdir(path)))
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         m = self.manifest(table)
         if m["snapshot"] is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
+        # bucket-aware fast path: single bucketed snapshot registered in this
+        # session's catalog → read through the catalog so downstream
+        # groupBy/join on the bucket column needs no exchange
+        spec = m.get("bucket_spec")
+        if spec and not m.get("segments"):
+            name = self._catalog_name(table)
+            if spark.catalog.tableExists(name):
+                return spark.table(name)
         paths = [os.path.join(self.root, table, d) for d in self._live_dirs(table)]
-        # a retention drop can empty a whole segment dir (only _SUCCESS
-        # left) — schema inference would fail on it, so skip hollow dirs
-        live = [p for p in paths
-                if os.path.isdir(p) and any(not e.startswith("_") for e in os.listdir(p))]
-        dfs = [spark.read.parquet(p) for p in (live or paths[:1])]
+        live = [p for p in paths if not self._is_hollow(p)]
+        if not live:
+            empty = self._empty_frame(spark, table)
+            if empty is not None:
+                return empty
+            live = paths[:1]  # pre-schema manifest: legacy behavior
+        dfs = [spark.read.parquet(p) for p in live]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
     def read_segment(self, spark: SparkSession, table: str, segment: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.root, table, segment))
+        path = os.path.join(self.root, table, segment)
+        if self._is_hollow(path):
+            # retention can hollow out a pending segment; treat it as empty
+            empty = self._empty_frame(spark, table)
+            if empty is not None:
+                return empty
+        return spark.read.parquet(path)
 
     def pending_appends(self, table: str) -> list[str]:
         return self.manifest(table).get("pending_appends", [])

@@ -146,3 +146,41 @@ def test_tier1_unique_chunks_is_shuffle_free(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_ivf_candidate_join_broadcasts_probes_not_corpus(spark):
+    """The IVF candidate join must be a broadcast hash join with the PROBE
+    side broadcast: the corpus is never exchanged on the (few-distinct-keys)
+    cluster column — the r2-verdict parallelism ceiling / skew magnet."""
+    from sorting_compressed_time_series_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(ivf_topk(emb, n_queries=4, k=3), mode="extended")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in phys, phys
+    # no exchange may hash-partition on the cluster key (16 distinct values)
+    bad = [
+        l for l in phys.splitlines()
+        if "Exchange hashpartitioning(cluster" in l
+    ]
+    assert not bad, "\n".join(bad)
+
+
+def test_bucketed_chunk_table_compacts_without_exchange(spark, tmp_path):
+    """Warehouse bucketed snapshots (bucket(doc_id, N) stand-in): the
+    per-doc compaction groupBy must read the clustering from the scan —
+    zero Exchange operators in the whole compaction plan."""
+    from sorting_compressed_time_series_spark.operators.compaction import compact_chunks
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+    from sorting_compressed_time_series_spark.sources.warehouse import Warehouse, with_p_day
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    chunks = with_p_day(flush(generate_tokens_df(spark, 80)), "window_start")
+    wh.write(chunks, "chunks_tier0", partition_by=("p_day",),
+             bucket_by=("doc_id", 4))
+    back = wh.read(spark, "chunks_tier0")
+    plan = plan_of(compact_chunks(back.filter("tier = 0")))
+    assert "Exchange" not in plan, plan
+    # and the bucket-aware read is exact: same rows as a plain path read
+    assert back.count() == chunks.count()
