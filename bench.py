@@ -87,8 +87,7 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     from sorting_compressed_time_series_spark.operators.rollup import (
         WINDOW_1H_US,
         WINDOW_1M_US,
-        promote,
-        rollup_tier1,
+        rollup_tiers,
     )
 
     tmp = keep_tables or tempfile.mkdtemp(prefix="bench_wh_", dir=_TMPBASE)
@@ -112,31 +111,28 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     n_tokens, bytes_raw, bytes_comp, inversions = (int(x) for x in agg)
 
     t0 = time.perf_counter()
-    t1_path = os.path.join(tmp, "tier1")
-    # one flush → one chunk per doc → the cross-chunk merge shuffle is
-    # provably redundant (the 8-vs-32-core tier-hash equality check below
-    # would catch any violation)
-    rollup_tier1(chunks, 1_000_000, unique_doc_chunks=True).write.mode(
-        "overwrite"
-    ).parquet(t1_path)
-    tier1 = spark.read.parquet(t1_path)
-    t2_path = os.path.join(tmp, "tier2")
-    promote(tier1, WINDOW_1M_US).write.mode("overwrite").parquet(t2_path)
-    tier2 = spark.read.parquet(t2_path)
-    t3_path = os.path.join(tmp, "tier3")
-    promote(tier2, WINDOW_1H_US).write.mode("overwrite").parquet(t3_path)
+    tiers_path = os.path.join(tmp, "tiers")
+    # FUSED multi-tier rollup: one decode pass emits 1s/1m/1h partials
+    # together; one flush → one chunk per doc → partials are final
+    # (unique_doc_chunks; the 8-vs-32-core tier-hash equality check below
+    # would catch any violation), so the whole promotion cascade is ONE
+    # map-only job with zero exchanges — the per-tier write+read-back jobs
+    # (a fixed ~0.5 s/job wall that does NOT shrink with cores) are gone.
+    rollup_tiers(
+        chunks, [1_000_000, WINDOW_1M_US, WINDOW_1H_US], unique_doc_chunks=True
+    ).write.mode("overwrite").parquet(tiers_path)
     t_rollup = time.perf_counter() - t0
 
     # deterministic content hash of every tier (order-insensitive)
     hashes = {}
-    for name, path in [("tier1", t1_path), ("tier2", t2_path), ("tier3", t3_path)]:
-        df = spark.read.parquet(path)
-        cols = [c for c in sorted(df.columns)]
-        h = df.select(
-            F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("h"),
-            F.count("*").alias("n"),
-        ).collect()[0]
-        hashes[name] = (int(h.h) if h.h is not None else 0, int(h.n))
+    tiers = spark.read.parquet(tiers_path)
+    cols = [c for c in sorted(tiers.columns) if c != "tier"]
+    hrows = tiers.groupBy("tier").agg(
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("h"),
+        F.count("*").alias("n"),
+    ).collect()
+    for r in hrows:
+        hashes[f"tier{int(r.tier) + 1}"] = (int(r.h) if r.h is not None else 0, int(r.n))
 
     if keep_tables is None:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -375,28 +371,41 @@ def main() -> None:
                 break
             if out_of_time and len(runs) == 2:
                 break
-        # estimator: per-config MAX over ALL reps. Steal only ever
-        # subtracts throughput, so the max is the least-biased estimate of
-        # the clean machine; the endpoint gauges CANNOT veto it (a storm
-        # can live entirely between two quiet gauges — observed: a
-        # clean-gauged rep with a 43 s flush next to a dirty-gauged 4 M/s
-        # rep). clean_pair + per-rep gauges are reported as evidence.
-        thr_lo = runs[lo_cores]["tokens_per_sec"]
-        thr_hi = runs[cpus]["tokens_per_sec"]
+        # headline estimator: per-config MAX over the CLEAN reps when a
+        # clean pair exists (both endpoint gauges quiet), so a storm-hit rep
+        # can never set the graded ratio against a clean rep of the other
+        # config. Fallback (no clean pair): per-config MAX over ALL reps —
+        # steal only ever subtracts throughput, so the max is the
+        # least-biased estimate of the clean machine. Both estimators are
+        # reported; the gauges are evidence, not a veto (a storm can live
+        # entirely between two quiet gauges — observed: a clean-gauged rep
+        # with a 43 s flush next to a dirty-gauged 4 M/s rep).
+        have_clean_pair = len(clean_runs) == 2
+        graded = clean_runs if have_clean_pair else runs
+        thr_lo = graded[lo_cores]["tokens_per_sec"]
+        thr_hi = graded[cpus]["tokens_per_sec"]
+        eff = (thr_hi / thr_lo) / (cpus / lo_cores)
+        eff_all = (
+            runs[cpus]["tokens_per_sec"] / runs[lo_cores]["tokens_per_sec"]
+        ) / (cpus / lo_cores)
+        ceiling = result["machine_parallel_ceiling"]["ceiling_efficiency_lo_hi"]
         result["scaling"] = {
             "cores_lo": lo_cores,
             "cores_hi": cpus,
             "tokens_per_sec_lo": round(thr_lo),
             "tokens_per_sec_hi": round(thr_hi),
-            "efficiency": round((thr_hi / thr_lo) / (cpus / lo_cores), 3),
-            "tier_outputs_identical": runs[lo_cores]["tier_hashes"] == runs[cpus]["tier_hashes"],
+            "efficiency": round(eff, 3),
+            "estimator": "clean_pair_max" if have_clean_pair else "all_reps_max",
+            "efficiency_all_reps_max": round(eff_all, 3),
+            "efficiency_vs_machine_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            "tier_outputs_identical": graded[lo_cores]["tier_hashes"] == graded[cpus]["tier_hashes"],
             "all_rep_throughputs": all_thr,
             "steal_gauge_per_rep": gauges,
-            "clean_pair": len(clean_runs) == 2,
+            "clean_pair": have_clean_pair,
             "stage_walls": {
-                str(c): {"t_flush": round(runs[c]["t_flush"], 2),
-                         "t_rollup": round(runs[c]["t_rollup"], 2)}
-                for c in runs
+                str(c): {"t_flush": round(graded[c]["t_flush"], 2),
+                         "t_rollup": round(graded[c]["t_rollup"], 2)}
+                for c in graded
             },
         }
 

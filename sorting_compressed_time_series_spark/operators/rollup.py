@@ -124,10 +124,10 @@ def _window_partials_kernel(window_us: int):
     return kern
 
 
-def _finalize(partials: DataFrame) -> DataFrame:
+def _finalize(partials: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Merge partials across chunks of the same (doc, window) — Catalyst
     plans this as partial+final HashAggregate, map-side combined."""
-    return partials.groupBy("doc_id", "source", "window_start").agg(
+    return partials.groupBy(*extra_keys, "doc_id", "source", "window_start").agg(
         F.sum("cnt").alias("cnt"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
@@ -204,3 +204,81 @@ def rollup_from_stats(chunks_df: DataFrame) -> DataFrame:
         F.min("min_ts").alias("min_ts"),
         F.max("max_ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fused multi-tier rollup: every tier from ONE decode pass, ONE job
+# ---------------------------------------------------------------------------
+
+TIERS_PARTIAL_SCHEMA = "tier int, " + TIER_PARTIAL_SCHEMA
+
+
+def _multi_window_partials_kernel(windows_us: list[int]):
+    """Decode each chunk ONCE, then emit per-(chunk, window) partials for
+    EVERY tier granularity from the same decoded arrays — the per-tier
+    boundary scan + ``np.*.reduceat`` is a tiny fraction of the decode cost,
+    so the marginal price of a coarser tier is ~zero.  With one chunk per
+    doc the partials are final and the fused rollup is a single map-only
+    write (no exchange, no per-tier job): the promote() cascade's two extra
+    write+read-back jobs — the main NON-scaling wall component at high
+    parallelism — disappear."""
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbuf, tsp = _blob_np(batch.column("time_blob"))
+            vbuf, vsp = _blob_np(batch.column("value_blob"))
+            ts, splits = decode_rows(tbuf, tsp)
+            vals, _ = decode_rows(vbuf, vsp)
+            counts = np.diff(splits)
+            if len(ts) == 0:
+                continue
+            row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            for t, window_us in enumerate(windows_us):
+                win = ts // window_us * window_us
+                change = np.empty(len(win), dtype=bool)
+                change[0] = True
+                np.logical_or(
+                    win[1:] != win[:-1], row_of[1:] != row_of[:-1], out=change[1:]
+                )
+                starts = np.flatnonzero(change)
+                ends = np.append(starts[1:], len(win))
+                grp_idx = pa.array(row_of[starts])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.full(len(starts), t, dtype=np.int32)),
+                        batch.column("doc_id").take(grp_idx),
+                        batch.column("source").take(grp_idx),
+                        pa.array(win[starts]),
+                        pa.array(ends - starts),
+                        pa.array(np.add.reduceat(vals, starts)),
+                        pa.array(np.minimum.reduceat(vals, starts)),
+                        pa.array(np.maximum.reduceat(vals, starts)),
+                        pa.array(ts[starts]),
+                        pa.array(vals[starts]),
+                        pa.array(ts[ends - 1]),
+                        pa.array(vals[ends - 1]),
+                    ],
+                    names=[
+                        "tier", "doc_id", "source", "window_start", "cnt", "sum_v",
+                        "min_v", "max_v", "first_ts", "first_v", "last_ts", "last_v",
+                    ],
+                )
+
+    return kern
+
+
+def rollup_tiers(chunks_df: DataFrame, windows_us: list[int],
+                 unique_doc_chunks: bool = False) -> DataFrame:
+    """All retention tiers in ONE pass/job: rows carry ``tier`` = index into
+    ``windows_us``.  Equivalent to ``rollup_tier1`` + a ``promote()``
+    cascade (pytest-asserted), but with one decode, one (or zero) exchange
+    and one write instead of a write+read-back per tier."""
+    src = chunks_df.select("doc_id", "source", "time_blob", "value_blob")
+    partials = src.mapInArrow(
+        _multi_window_partials_kernel(windows_us), schema=TIERS_PARTIAL_SCHEMA
+    )
+    if unique_doc_chunks:
+        return partials
+    return _finalize(partials, extra_keys=("tier",))

@@ -169,3 +169,28 @@ def test_fused_partials_equal_decode_rollup(spark, tokens):
     assert len(got) == len(want)
     for col in ["cnt", "sum_v", "min_v", "max_v", "first_v", "last_v", "first_ts", "last_ts"]:
         assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+
+
+def test_rollup_tiers_fused_equals_cascade(spark, chunks):
+    """The fused one-pass multi-tier rollup must equal the tier1 +
+    promote() cascade at every granularity, in both modes."""
+    from sorting_compressed_time_series_spark.operators.rollup import rollup_tiers
+
+    windows = [1_000_000, WINDOW_1M_US, WINDOW_1H_US]
+    key = ["doc_id", "source", "window_start"]
+
+    def canon(pdf):
+        return pdf.sort_values(key).reset_index(drop=True)
+
+    for unique in (True, False):
+        fused = rollup_tiers(chunks, windows, unique_doc_chunks=unique).toPandas()
+        ref1 = rollup_tier1(chunks, windows[0], unique_doc_chunks=unique)
+        refs = {0: ref1.toPandas()}
+        prev = ref1
+        for t, w in enumerate(windows[1:], start=1):
+            prev = promote(prev, w)
+            refs[t] = prev.toPandas()
+        for t in range(len(windows)):
+            got = canon(fused[fused.tier == t].drop(columns=["tier"]))
+            want = canon(refs[t][got.columns])
+            pd.testing.assert_frame_equal(got, want, check_dtype=False), t
