@@ -465,17 +465,6 @@ def _gapfill_frame(spark, sf_dir):
     )
 
 
-@q(
-    "gapfill_previous",
-    _GAPFILL_BASE
-    + """
-    SELECT user_id, window_start,
-           last_value(avg_q IGNORE NULLS) OVER (
-             PARTITION BY user_id ORDER BY window_start
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-    FROM j
-    """,
-)
 def gapfill_previous(spark, sf_dir):
     """FILL(PREVIOUS) on an hourly spine (reference FillOperator /
     identity fill)."""
@@ -483,8 +472,20 @@ def gapfill_previous(spark, sf_dir):
     return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
 
 
+def gapfill_linear(spark, sf_dir):
+    """FILL(LINEAR) (reference LinearFillOperator)."""
+    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "linear")
+    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+
+
+def gapfill_constant(spark, sf_dir):
+    """FILL(constant 0)."""
+    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "constant", constant=0.0)
+    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+
+
 @q(
-    "gapfill_linear",
+    "gapfill_fill_modes",
     _GAPFILL_BASE
     + """
     , anchors AS (
@@ -498,30 +499,30 @@ def gapfill_previous(spark, sf_dir):
         w_prev AS (PARTITION BY user_id ORDER BY window_start ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         w_next AS (PARTITION BY user_id ORDER BY window_start ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT user_id, window_start,
+    SELECT 'previous' AS mode, user_id, window_start, prev_v AS filled FROM anchors
+    UNION ALL
+    SELECT 'linear', user_id, window_start,
            coalesce(avg_q, CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN
-             prev_v + (next_v - prev_v) * (window_start - prev_t) / (next_t - prev_t) END) AS filled
+             prev_v + (next_v - prev_v) * (window_start - prev_t) / (next_t - prev_t) END)
     FROM anchors
+    UNION ALL
+    SELECT 'constant', user_id, window_start, coalesce(avg_q, 0.0) FROM j
     """,
 )
-def gapfill_linear(spark, sf_dir):
-    """FILL(LINEAR) (reference LinearFillOperator)."""
-    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "linear")
-    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
-
-
-@q(
-    "gapfill_constant",
-    _GAPFILL_BASE
-    + """
-    SELECT user_id, window_start, coalesce(avg_q, 0.0) AS filled
-    FROM j
-    """,
-)
-def gapfill_constant(spark, sf_dir):
-    """FILL(constant 0)."""
-    out = gapfill(_gapfill_frame(spark, sf_dir), US_1H, "avg_q", "constant", constant=0.0)
-    return out.select(F.col("doc_id").alias("user_id"), "window_start", "filled")
+def gapfill_fill_modes(spark, sf_dir):
+    """All three FILL modes (PREVIOUS / LINEAR / constant — reference
+    FillOperator, LinearFillOperator) as ONE gate entry tagged by ``mode``:
+    one driver slot, full oracle coverage for each mode (the driver's
+    correctness file holds at most 50 entries — merged so nothing drops)."""
+    parts = [
+        gapfill_previous(spark, sf_dir).select(F.lit("previous").alias("mode"), "*"),
+        gapfill_linear(spark, sf_dir).select(F.lit("linear").alias("mode"), "*"),
+        gapfill_constant(spark, sf_dir).select(F.lit("constant").alias("mode"), "*"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @q(
@@ -741,10 +742,6 @@ def _minutely(spark, sf_dir, etype, alias):
     ).agg(F.count("*").alias(alias))
 
 
-@q("time_join_inner", _JOIN_BASE + """
-    SELECT c.user_id, c.m AS ts_m, c.n_click, v.n_view
-    FROM c JOIN v ON c.user_id = v.user_id AND c.m = v.m
-    """)
 def time_join_inner(spark, sf_dir):
     """InnerTimeJoinOperator: align two series on the time axis (minute
     buckets)."""
@@ -755,13 +752,6 @@ def time_join_inner(spark, sf_dir):
     )
 
 
-@q("time_join_full", _JOIN_BASE + """
-    SELECT coalesce(c.user_id, v.user_id) AS user_id,
-           coalesce(c.m, v.m) AS ts_m,
-           coalesce(c.n_click, 0) AS n_click,
-           coalesce(v.n_view, 0) AS n_view
-    FROM c FULL OUTER JOIN v ON c.user_id = v.user_id AND c.m = v.m
-    """)
 def time_join_full(spark, sf_dir):
     """FullOuterTimeJoinOperator: align-and-pad (NULL → 0 marker)."""
     c = _minutely(spark, sf_dir, "click", "n_click")
@@ -775,10 +765,6 @@ def time_join_full(spark, sf_dir):
     )
 
 
-@q("time_join_left", _JOIN_BASE + """
-    SELECT c.user_id, c.m AS ts_m, c.n_click, coalesce(v.n_view, 0) AS n_view
-    FROM c LEFT JOIN v ON c.user_id = v.user_id AND c.m = v.m
-    """)
 def time_join_left(spark, sf_dir):
     """LeftOuterTimeJoinOperator."""
     c = _minutely(spark, sf_dir, "click", "n_click")
@@ -787,6 +773,32 @@ def time_join_left(spark, sf_dir):
         "user_id", F.col("m").alias("ts_m"), "n_click",
         F.coalesce("n_view", F.lit(0)).alias("n_view"),
     )
+
+
+@q("time_joins", _JOIN_BASE + """
+    SELECT 'inner' AS jt, c.user_id, c.m AS ts_m, c.n_click, v.n_view
+    FROM c JOIN v ON c.user_id = v.user_id AND c.m = v.m
+    UNION ALL
+    SELECT 'full', coalesce(c.user_id, v.user_id), coalesce(c.m, v.m),
+           coalesce(c.n_click, 0), coalesce(v.n_view, 0)
+    FROM c FULL OUTER JOIN v ON c.user_id = v.user_id AND c.m = v.m
+    UNION ALL
+    SELECT 'left', c.user_id, c.m, c.n_click, coalesce(v.n_view, 0)
+    FROM c LEFT JOIN v ON c.user_id = v.user_id AND c.m = v.m
+    """)
+def time_joins(spark, sf_dir):
+    """Inner / FullOuter / LeftOuter time joins (the reference's three
+    TimeJoinOperators) as ONE gate entry tagged by ``jt`` — one driver
+    slot, full oracle coverage for all three join shapes."""
+    parts = [
+        time_join_inner(spark, sf_dir).select(F.lit("inner").alias("jt"), "*"),
+        time_join_full(spark, sf_dir).select(F.lit("full").alias("jt"), "*"),
+        time_join_left(spark, sf_dir).select(F.lit("left").alias("jt"), "*"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @q(
