@@ -72,7 +72,13 @@ def materialize_corpus(spark, n_docs: int, seed: int = 42) -> str:
     key = (n_docs, seed)
     if key not in _CORPUS_CACHE:
         path = os.path.join(_TMPBASE, f"bench_corpus_{n_docs}_{seed}")
-        generate_tokens_df(spark, n_docs, seed).repartition(64).write.mode(
+        # 256 files, NOT cores: Spark's split sizing adapts to default
+        # parallelism, and 64 files yielded exactly cores partitions at 32
+        # cores — a single task wave, where ONE steal-slowed thread sets
+        # the whole stage wall. ~4 waves lets the fast threads absorb the
+        # stragglers (same reasoning as over-partitioning on a real
+        # cluster); both scaling configs still read the identical layout.
+        generate_tokens_df(spark, n_docs, seed).repartition(256).write.mode(
             "overwrite"
         ).parquet(path)
         _CORPUS_CACHE[key] = path

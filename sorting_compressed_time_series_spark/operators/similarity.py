@@ -324,3 +324,51 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def cosine_dup_pairs(emb: DataFrame, tau: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine(a, b) ≥ tau — the exact verifier of the embedding-dedup family
+    (the scale path generates candidates with `lsh_topk`/`ivf_topk` buckets
+    first and verifies only within buckets, exactly like `jaccard_pairs`
+    is the exact verifier behind MinHash-LSH).
+
+    Physical shape: the normalized corpus matrix is broadcast once (gate
+    scale; at 100 TB the broadcast side is the LSH/IVF candidate set, not
+    the corpus) and every Arrow batch does ONE float64 matmul against it —
+    a single corpus pass, pairs emitted only for the upper triangle.
+    Output is integer-only (a, b) so the DuckDB oracle compares exactly
+    (float scores never cross the gate hash)."""
+    import numpy as np
+    import pyarrow as pa
+    from collections.abc import Iterator
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids)
+    spark = emb.sparkSession
+    bm = spark.sparkContext.broadcast((ids[order], m[order]))
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        all_ids, mat = bm.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            bm_ = _emb_matrix(b.column("embedding"))
+            bm_ = bm_ / np.maximum(np.linalg.norm(bm_, axis=1, keepdims=True), 1e-12)
+            bids = b.column("vec_id").to_numpy(zero_copy_only=False)
+            scores = bm_ @ mat.T  # (batch, corpus)
+            hit = scores >= tau
+            # upper triangle only: batch id strictly below corpus id
+            hit &= bids[:, None] < all_ids[None, :]
+            ai, bj = np.nonzero(hit)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(bids[ai].astype(np.int64)), pa.array(all_ids[bj])],
+                names=["a", "b"],
+            )
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        kern, schema="a bigint, b bigint"
+    )

@@ -1134,6 +1134,30 @@ def ann_cosine_topk(spark, sf_dir):
     return SIM.brute_force_topk(_embeddings(spark, sf_dir), n_queries=10, k=5)
 
 
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM n
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.35 — sized to the
+    synthetic corpus' cluster geometry, max pairwise cos ≈ 0.51), integer-only output so
+    the oracle hash is float-free; the exact verifier of the embedding
+    dedup family (LSH/IVF candidates are the scale path)."""
+    from .operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_embeddings(spark, sf_dir), tau=0.35)
+
+
 @q("ann_lsh_topk")  # rows-only: bucket membership isn't SQL-portable
 def ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH bucketing + exact rerank within bucket — the

@@ -184,3 +184,21 @@ def test_bucketed_chunk_table_compacts_without_exchange(spark, tmp_path):
     assert "Exchange" not in plan, plan
     # and the bucket-aware read is exact: same rows as a plain path read
     assert back.count() == chunks.count()
+
+
+def test_fused_rollup_tiers_unique_is_shuffle_free(spark, tmp_path):
+    """The fused multi-tier rollup in one-chunk-per-doc mode must be a pure
+    map-only plan: no Exchange anywhere between the chunk scan and the
+    per-tier partial rows (this is what lets the whole promotion cascade
+    ride a single write job in bench)."""
+    from sorting_compressed_time_series_spark.operators.ingest import flush
+    from sorting_compressed_time_series_spark.operators.rollup import rollup_tiers
+    from sorting_compressed_time_series_spark.sources.synth import generate_tokens_df
+
+    path = str(tmp_path / "chunks")
+    flush(generate_tokens_df(spark, 60)).write.parquet(path)
+    chunks = spark.read.parquet(path)
+    plan = plan_of(
+        rollup_tiers(chunks, [1_000_000, 60_000_000], unique_doc_chunks=True)
+    )
+    assert "Exchange" not in plan, plan
