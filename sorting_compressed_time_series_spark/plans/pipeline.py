@@ -14,6 +14,7 @@ checkpoint-resume oracle in tests/test_warehouse_promotion.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -25,6 +26,7 @@ from ..operators.rollup import (
     WINDOW_1M_US,
     promote,
     rollup_tier1,
+    rollup_tiers,
     tier1_from_flush,
 )
 from ..sources.warehouse import Warehouse, with_p_day
@@ -124,6 +126,24 @@ class Pipeline:
                 return tier1_from_flush(src)
             return rollup_tier1(src.filter(F.col("tier") == 0), self.tiers[0].window_us)
 
+        # Fused full-mode fast path: no tier has a watermark yet and no
+        # appends are pending → every tier is a fresh computation over the
+        # same points, so one rollup_tiers() decode job can feed all of
+        # them. Requires nested windows (each coarser tier an integer
+        # multiple of the finer) for direct-from-points ≡ cascade equality.
+        nested = all(
+            self.tiers[j + 1].window_us % self.tiers[j].window_us == 0
+            for j in range(len(self.tiers) - 1)
+        )
+        if (
+            not pending
+            and nested
+            and len(self.tiers) > 1
+            and not os.environ.get("SPARK_GRAFT_NO_FUSED_PROMOTE")
+            and all(wh.watermark(spec.name) is None for spec in self.tiers)
+        ):
+            return self._promote_all_fused(chunks, data_max, up_to_us, collect_stats)
+
         summary: list[dict] = []
         prev_df = None
         for i, spec in enumerate(self.tiers):
@@ -190,6 +210,53 @@ class Pipeline:
             summary.append(entry)
         if pending:
             wh.clear_pending("chunks_tier0")
+        return summary
+
+    def _promote_all_fused(self, chunks: DataFrame, data_max: int,
+                           up_to_us: int | None,
+                           collect_stats: bool) -> list[dict]:
+        """All-tiers-fresh promotion as ONE decode job and ONE write job.
+
+        The per-tier cascade costs a write + read-back per tier (a fixed
+        ~0.5 s/job wall that does NOT shrink with cores — the dominant
+        non-scaling component measured in BENCH.md). Here the fused
+        ``rollup_tiers`` kernel decodes every chunk once and emits every
+        tier's partials together; one write lands them partitioned by
+        ``(tier, p_day)`` and ``Warehouse.write_slices`` renames each
+        tier's partition dir into that tier table's snapshot (filesystem
+        moves + per-table manifest swaps, no extra jobs). Same shape the
+        bench headline uses; pytest asserts fused ≡ cascade outputs."""
+        wh = self.warehouse
+        completes: list[int] = []
+        for spec in self.tiers:
+            if up_to_us is None:
+                completes.append((data_max // spec.window_us + 1) * spec.window_us)
+            else:
+                completes.append(
+                    (min(up_to_us, data_max) // spec.window_us) * spec.window_us
+                )
+        # per-tier horizon applied inside the one fused frame
+        horizon = F.when(F.col("tier") == 0, F.lit(int(completes[0])))
+        for t in range(1, len(self.tiers)):
+            horizon = horizon.when(F.col("tier") == t, F.lit(int(completes[t])))
+        fused = rollup_tiers(
+            chunks.filter(F.col("tier") == 0),
+            [spec.window_us for spec in self.tiers],
+        ).filter(F.col("window_start") < horizon)
+        wh.write_slices(
+            with_p_day(fused), "tier",
+            {t: spec.name for t, spec in enumerate(self.tiers)},
+            partition_by=("p_day",),
+            watermarks={t: int(c) for t, c in enumerate(completes)},
+            op="promote:full-fused",
+        )
+        summary = []
+        for t, spec in enumerate(self.tiers):
+            entry = {"tier": spec.name, "mode": "full",
+                     "watermark_us": int(completes[t])}
+            if collect_stats:
+                entry["recomputed"] = wh.read(self.spark, spec.name).count()
+            summary.append(entry)
         return summary
 
     # --- maintenance: compaction ------------------------------------------

@@ -120,6 +120,51 @@ class Warehouse:
                       "bucket_by": bucket_spec},
                      schema_json=df.schema.json(), bucket_spec=bucket_spec)
 
+    def write_slices(self, df: DataFrame, slice_col: str,
+                     tables: dict[int, str], *,
+                     partition_by: tuple[str, ...] = (),
+                     watermarks: dict[int, int] | None = None,
+                     op: str = "promote") -> None:
+        """ONE Spark write job commits MANY tables.
+
+        ``df`` is written once, partitioned by ``(slice_col, *partition_by)``,
+        into a staging dir; each ``slice_col=<v>`` partition directory is
+        then RENAMED into table ``tables[v]``'s next snapshot and committed
+        with that table's own manifest + watermark. Pure filesystem moves
+        plus per-table atomic manifest swaps — no extra jobs, no read-backs
+        (the Iceberg analogue: one data write, N table commits). A crash
+        between the per-table commits leaves earlier tables live and later
+        ones unpromoted; the deterministic per-tier promotion path finishes
+        them on rerun. A slice with zero rows commits a hollow snapshot
+        that reads back as an empty frame via the persisted schema."""
+        assert slice_col not in partition_by
+        staging = os.path.join(
+            self.root, "_staging",
+            "slices-" + "-".join(
+                f"{tbl}.v{self.manifest(tbl)['version'] + 1}"
+                for tbl in tables.values()),
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        w = df.write.mode("overwrite").partitionBy(slice_col, *partition_by)
+        w.parquet(staging)
+        slice_schema = df.drop(slice_col).schema.json()
+        for val, tbl in tables.items():
+            src = os.path.join(staging, f"{slice_col}={val}")
+            snap = f"snap-{self.manifest(tbl)['version'] + 1}"
+            dst = os.path.join(self.root, tbl, snap)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+            else:
+                os.makedirs(dst, exist_ok=True)
+            wm = (watermarks or {}).get(val)
+            self._commit(tbl, snap, wm,
+                         {"op": op, "partition_by": tuple(partition_by),
+                          "bucket_by": None},
+                         schema_json=slice_schema, bucket_spec=None)
+        shutil.rmtree(staging, ignore_errors=True)
+
     def append_segment(self, df: DataFrame, table: str, *,
                        partition_by: tuple[str, ...] = (), op: str = "append") -> str:
         """Append-only commit: land the new rows as an extra SEGMENT dir and

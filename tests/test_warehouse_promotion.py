@@ -166,6 +166,24 @@ def test_incremental_append_equals_oneshot(spark, tmp_path_factory):
     assert [e["mode"] for e in p2.promote_all()] == ["noop", "noop"]
 
 
+def test_fused_promote_equals_cascade(spark, tmp_path_factory, uninterrupted, monkeypatch):
+    """promote_all()'s fused full-mode fast path (ONE decode job + ONE
+    write via Warehouse.write_slices) must produce the same tier tables
+    and the same watermarks as the per-tier cascade."""
+    want, wh_fused = uninterrupted  # fixture ran the fused path (fresh wh)
+    monkeypatch.setenv("SPARK_GRAFT_NO_FUSED_PROMOTE", "1")
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_cascade")))
+    p = Pipeline(spark, wh, _tiers())
+    p.ingest(generate_tokens_df(spark, N_DOCS, SEED), SEED)
+    summary = p.promote_all()
+    assert all(e["mode"] == "full" for e in summary)
+    for s in _tiers():
+        got = _collect(wh.read(spark, s.name))
+        pd.testing.assert_frame_equal(got[want[s.name].columns], want[s.name],
+                                      check_dtype=False)
+        assert wh.watermark(s.name) == wh_fused.watermark(s.name)
+
+
 def test_pipeline_compact_after_append(spark, tmp_path_factory):
     """Maintenance compaction after appends: every multi-chunk doc merges
     to ONE chunk, the compacted warehouse's tiers are untouched-and-valid
