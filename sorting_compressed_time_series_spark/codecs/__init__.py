@@ -18,6 +18,12 @@ Two codec families, mirroring the reference's split (see /root/repo/SURVEY.md §
    Our format separates fixed-width control planes (tags, window params) from
    the variable-width payload plane so DECODE is fully vectorizable — the
    reference's interleaved prefix codes force sequential decode; ours do not.
+
+Plus ``chimp`` — the CHIMP-128 benchmark-baseline codec (reference
+LongChimpEncoder.java; the reference uses it only as a comparison point in
+MemtableSortTest): same plane-split idiom, with the XOR back-reference
+chain resolved by pointer doubling at decode, and ``deltagorilla`` — the
+fork's interleaved single-delta research codec + bit-level in-place sorter.
 """
 
 from .bytealigned import (  # noqa: F401
@@ -37,7 +43,15 @@ from .bitpacked import (  # noqa: F401
     gorilla_encode_doubles,
     gorilla_encode_longs,
 )
+from .chimp import (  # noqa: F401
+    chimp_decode_doubles,
+    chimp_decode_longs,
+    chimp_encode_doubles,
+    chimp_encode_longs,
+)
 from .chunk import (  # noqa: F401
+    CODEC_CHIMP,
+    CODEC_CHIMP_F64,
     CODEC_DELTA,
     CODEC_DOD,
     CODEC_GORILLA,

@@ -18,6 +18,7 @@ Layout:  magic 'SC' | version u8 | codec u8 | body
   codec 2 (VARINT)  body = u32 count | lens (2-bit packed) | vals
   codec 3 (DOD)     body = dod_encode output
   codec 4 (GORILLA) body = gorilla_encode output
+  codec 7/8 (CHIMP) body = chimp_encode output (long / double)
 """
 
 from __future__ import annotations
@@ -33,6 +34,12 @@ from .bitpacked import (
     gorilla_decode_longs,
     gorilla_encode_doubles,
     gorilla_encode_longs,
+)
+from .chimp import (
+    chimp_decode_doubles,
+    chimp_decode_longs,
+    chimp_encode_doubles,
+    chimp_encode_longs,
 )
 from .bytealigned import (
     ByteAlignedData,
@@ -50,6 +57,8 @@ CODEC_DOD = 3
 CODEC_GORILLA = 4
 CODEC_GORILLA_F64 = 5
 CODEC_TS2DIFF = 6
+CODEC_CHIMP = 7
+CODEC_CHIMP_F64 = 8
 
 _HEADER = 4  # magic(2) + version(1) + codec(1)
 
@@ -97,6 +106,11 @@ def encode_chunk(values: np.ndarray, codec: int) -> bytes:
         return _wrap(codec, gorilla_encode_doubles(values))
     if codec == CODEC_TS2DIFF:
         return _wrap(codec, ts2diff_encode(values))
+    if codec == CODEC_CHIMP:
+        return _wrap(codec, chimp_encode_longs(
+            np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)))
+    if codec == CODEC_CHIMP_F64:
+        return _wrap(codec, chimp_encode_doubles(values))
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -115,6 +129,10 @@ def decode_chunk(blob: bytes | memoryview) -> np.ndarray:
         return gorilla_decode_doubles(body)
     if codec == CODEC_TS2DIFF:
         return ts2diff_decode(body)
+    if codec == CODEC_CHIMP:
+        return chimp_decode_longs(body).view(np.int64)
+    if codec == CODEC_CHIMP_F64:
+        return chimp_decode_doubles(body)
     raise ValueError(f"unknown codec {codec}")
 
 
