@@ -352,6 +352,27 @@ def main() -> None:
         clean_runs: dict = {}  # best run per config whose WHOLE window was quiet
         all_thr: dict = {lo_cores: [], cpus: []}
         best_wall: dict = {}   # per config: fastest (t_flush + t_rollup) seen
+        # Persisted wall floor: the fastest wall EVER measured per
+        # (corpus, cores) on this machine, across bench invocations. The
+        # session-internal 1.3× band cannot catch a run where EVERY rep
+        # landed in one long storm (observed: a 6.6 s 32-core flush graded
+        # "clean" because the whole run was slow); judging against the
+        # machine's known capability can only REJECT storm reps — it never
+        # changes a measured number. Delete the file to reset after an
+        # intentional slowdown (e.g. benchmarking a debug build).
+        floor_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_wall_floor.json")
+        try:
+            with open(floor_path) as fh:
+                wall_floor = json.load(fh)
+        except (OSError, ValueError):
+            wall_floor = {}
+
+        def _band(c: int) -> float:
+            fl = wall_floor.get(f"{sdocs}_{c}")
+            lim = best_wall.get(c, float("inf"))
+            return 1.3 * (min(lim, fl) if fl is not None else lim)
+
         gauges: list = []
         pair = 0
         while True:
@@ -370,7 +391,7 @@ def main() -> None:
                 # (observed: clean-gauged rep with a 2.4× flush wall); a rep
                 # is clean only if its own wall is also near the best this
                 # bench has seen at that core count
-                clean = g0 <= 1.5 and g1 <= 1.5 and wall <= 1.3 * best_wall[c]
+                clean = g0 <= 1.5 and g1 <= 1.5 and wall <= _band(c)
                 all_thr[c].append(round(h["tokens_per_sec"]))
                 if c not in runs or h["tokens_per_sec"] > runs[c]["tokens_per_sec"]:
                     runs[c] = h
@@ -382,7 +403,7 @@ def main() -> None:
             # a later, faster rep can retroactively disqualify an earlier
             # "clean" one whose wall now exceeds the 1.3× band
             for c, h in list(clean_runs.items()):
-                if h["t_flush"] + h["t_rollup"] > 1.3 * best_wall[c]:
+                if h["t_flush"] + h["t_rollup"] > _band(c):
                     del clean_runs[c]
             have_clean_pair = len(clean_runs) == 2
             out_of_time = time.time() > deadline
@@ -407,6 +428,16 @@ def main() -> None:
         # reported; the gauges are evidence, not a veto (a storm can live
         # entirely between two quiet gauges — observed: a clean-gauged rep
         # with a 43 s flush next to a dirty-gauged 4 M/s rep).
+        # persist the improved floors for future invocations (min-only:
+        # storms can never lower a floor below the machine's true best)
+        for c, w in best_wall.items():
+            k = f"{sdocs}_{c}"
+            wall_floor[k] = round(min(w, wall_floor.get(k, w)), 3)
+        try:
+            with open(floor_path, "w") as fh:
+                json.dump(wall_floor, fh, indent=1)
+        except OSError:
+            pass
         have_clean_pair = len(clean_runs) == 2
         graded = clean_runs if have_clean_pair else runs
         thr_lo = graded[lo_cores]["tokens_per_sec"]
