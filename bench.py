@@ -106,7 +106,16 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     # triples the write volume with a tier1-sized side table that the
     # rollup stage would re-write anyway; decode CPU scales with cores,
     # the extra write does not.)
-    flush(toks, seed).write.mode("overwrite").parquet(chunks_path)
+    # 1 MB parquet row groups make the chunk files SPLITTABLE: flush emits
+    # one file per input split (~64 at bench scale), and with the default
+    # 128 MB row groups the rollup scan bottoms out at one task per file —
+    # a single task wave at 32 cores where one steal-slowed thread (or a
+    # 2-files-vs-1 bin-packing imbalance) sets the whole stage wall. Small
+    # row groups + the scan conf below yield ~4 balanced waves. On a real
+    # cluster the same lever is row-group size vs executor-cores × files.
+    flush(toks, seed).write.mode("overwrite").option(
+        "parquet.block.size", 1 << 20
+    ).parquet(chunks_path)
     t_flush = time.perf_counter() - t0
 
     chunks = spark.read.parquet(chunks_path)
@@ -116,6 +125,14 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     ).collect()[0]
     n_tokens, bytes_raw, bytes_comp, inversions = (int(x) for x in agg)
 
+    # scan the (row-group-splittable) chunk files at ~2 MB granularity for
+    # the decode stage: 274 MB of blobs → ~140 tasks → ~4 waves at 32
+    # cores (measured: 13.5 s single-wave → 7.6 s, same storm window)
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")}
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
+    chunks = spark.read.parquet(chunks_path)
     t0 = time.perf_counter()
     tiers_path = os.path.join(tmp, "tiers")
     # FUSED multi-tier rollup: one decode pass emits 1s/1m/1h partials
@@ -128,6 +145,8 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
         chunks, [1_000_000, WINDOW_1M_US, WINDOW_1H_US], unique_doc_chunks=True
     ).write.mode("overwrite").parquet(tiers_path)
     t_rollup = time.perf_counter() - t0
+    for k, v in saved.items():
+        spark.conf.set(k, v)
 
     # deterministic content hash of every tier (order-insensitive)
     hashes = {}
