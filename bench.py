@@ -97,6 +97,16 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     )
 
     tmp = keep_tables or tempfile.mkdtemp(prefix="bench_wh_", dir=_TMPBASE)
+    # fine-grained scans for the whole pipeline: ~2 MB splits / 256 KB open
+    # cost give the corpus scan ~3-4 task waves (the 4 MB default open cost
+    # bin-packed the 256 small corpus files into 64 single-wave-adjacent
+    # partitions) and — with the 1 MB row groups below — the chunk scan
+    # ~140 balanced tasks. More waves = stragglers absorbed by fast
+    # threads; same lever as over-partitioning on a real cluster.
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")}
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
     toks = spark.read.parquet(materialize_corpus(spark, n_docs, seed))
 
     t0 = time.perf_counter()
@@ -125,13 +135,8 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     ).collect()[0]
     n_tokens, bytes_raw, bytes_comp, inversions = (int(x) for x in agg)
 
-    # scan the (row-group-splittable) chunk files at ~2 MB granularity for
-    # the decode stage: 274 MB of blobs → ~140 tasks → ~4 waves at 32
-    # cores (measured: 13.5 s single-wave → 7.6 s, same storm window)
-    saved = {k: spark.conf.get(k) for k in
-             ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")}
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
-    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
+    # re-plan the chunk scan under the fine-grained confs (measured:
+    # 13.5 s single-wave → 7.6 s for the rollup stage, same storm window)
     chunks = spark.read.parquet(chunks_path)
     t0 = time.perf_counter()
     tiers_path = os.path.join(tmp, "tiers")
