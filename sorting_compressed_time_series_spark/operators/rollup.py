@@ -235,36 +235,85 @@ def _multi_window_partials_kernel(windows_us: list[int]):
             if len(ts) == 0:
                 continue
             row_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+            prev: dict | None = None
             for t, window_us in enumerate(windows_us):
-                win = ts // window_us * window_us
-                change = np.empty(len(win), dtype=bool)
-                change[0] = True
-                np.logical_or(
-                    win[1:] != win[:-1], row_of[1:] != row_of[:-1], out=change[1:]
-                )
-                starts = np.flatnonzero(change)
-                ends = np.append(starts[1:], len(win))
-                grp_idx = pa.array(row_of[starts])
+                if prev is not None and window_us % prev["window_us"] == 0:
+                    # nested windows: CASCADE from the previous tier's group
+                    # arrays (≈ points/window_size elements) instead of
+                    # re-scanning the full point arrays — the per-point
+                    # passes (window quotient + boundary compare + 3×
+                    # reduceat over n) happen once, for the finest tier;
+                    # every coarser tier costs only group-array traffic.
+                    # Correct because points are time-sorted within a row
+                    # (flush order), so fine groups within a row are too:
+                    # the first fine group of a coarse window carries its
+                    # earliest point, the last its latest.
+                    src_row, src_win = prev["row"], prev["win"]
+                    win = src_win // window_us * window_us
+                    m = len(win)
+                    change = np.empty(m, dtype=bool)
+                    change[0] = True
+                    np.logical_or(win[1:] != win[:-1],
+                                  src_row[1:] != src_row[:-1], out=change[1:])
+                    s = np.flatnonzero(change)
+                    e = np.append(s[1:], m)
+                    cur = {
+                        "window_us": window_us,
+                        "row": src_row[s],
+                        "win": win[s],
+                        "cnt": np.add.reduceat(prev["cnt"], s),
+                        "sum": np.add.reduceat(prev["sum"], s),
+                        "min": np.minimum.reduceat(prev["min"], s),
+                        "max": np.maximum.reduceat(prev["max"], s),
+                        "fts": prev["fts"][s],
+                        "fv": prev["fv"][s],
+                        "lts": prev["lts"][e - 1],
+                        "lv": prev["lv"][e - 1],
+                    }
+                else:
+                    win = ts // window_us * window_us
+                    change = np.empty(len(win), dtype=bool)
+                    change[0] = True
+                    np.logical_or(
+                        win[1:] != win[:-1], row_of[1:] != row_of[:-1], out=change[1:]
+                    )
+                    starts = np.flatnonzero(change)
+                    ends = np.append(starts[1:], len(win))
+                    cur = {
+                        "window_us": window_us,
+                        "row": row_of[starts],
+                        "win": win[starts],
+                        "cnt": ends - starts,
+                        "sum": np.add.reduceat(vals, starts),
+                        "min": np.minimum.reduceat(vals, starts),
+                        "max": np.maximum.reduceat(vals, starts),
+                        "fts": ts[starts],
+                        "fv": vals[starts],
+                        "lts": ts[ends - 1],
+                        "lv": vals[ends - 1],
+                    }
+                grp_idx = pa.array(cur["row"])
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array(np.full(len(starts), t, dtype=np.int32)),
+                        pa.array(np.full(len(cur["row"]), t, dtype=np.int32)),
                         batch.column("doc_id").take(grp_idx),
                         batch.column("source").take(grp_idx),
-                        pa.array(win[starts]),
-                        pa.array(ends - starts),
-                        pa.array(np.add.reduceat(vals, starts)),
-                        pa.array(np.minimum.reduceat(vals, starts)),
-                        pa.array(np.maximum.reduceat(vals, starts)),
-                        pa.array(ts[starts]),
-                        pa.array(vals[starts]),
-                        pa.array(ts[ends - 1]),
-                        pa.array(vals[ends - 1]),
+                        pa.array(cur["win"]),
+                        pa.array(cur["cnt"]),
+                        pa.array(cur["sum"]),
+                        pa.array(cur["min"]),
+                        pa.array(cur["max"]),
+                        pa.array(cur["fts"]),
+                        pa.array(cur["fv"]),
+                        pa.array(cur["lts"]),
+                        pa.array(cur["lv"]),
                     ],
                     names=[
                         "tier", "doc_id", "source", "window_start", "cnt", "sum_v",
                         "min_v", "max_v", "first_ts", "first_v", "last_ts", "last_v",
                     ],
                 )
+                prev = cur
 
     return kern
 
