@@ -99,18 +99,25 @@ class Warehouse:
         m = self.manifest(table)
         snap = f"snap-{m['version'] + 1}"
         path = os.path.join(self.root, table, snap)
+        # 4 MB parquet row groups keep blob-bearing snapshots SPLITTABLE:
+        # with the 128 MB default, a table written from k tasks caps every
+        # later scan at k tasks (one row group per file) — at high
+        # parallelism that is one unbalanced task wave. Small row groups
+        # cost ~nothing on stat/partial tables (they are smaller than one
+        # group anyway) and let decode scans split chunk files.
         if bucket_by is not None:
             col, n = bucket_by
             name = self._catalog_name(table)
             spark = df.sparkSession
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             w = df.write.mode("overwrite").option("path", path)
+            w = w.option("parquet.block.size", 4 << 20)
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.bucketBy(n, col).sortBy(col).format("parquet").saveAsTable(name)
             bucket_spec = [col, n]
         else:
-            w = df.write.mode("overwrite")
+            w = df.write.mode("overwrite").option("parquet.block.size", 4 << 20)
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(path)
@@ -145,7 +152,8 @@ class Warehouse:
                 for tbl in tables.values()),
         )
         shutil.rmtree(staging, ignore_errors=True)
-        w = df.write.mode("overwrite").partitionBy(slice_col, *partition_by)
+        w = df.write.mode("overwrite").option("parquet.block.size", 4 << 20)
+        w = w.partitionBy(slice_col, *partition_by)
         w.parquet(staging)
         slice_schema = df.drop(slice_col).schema.json()
         for val, tbl in tables.items():
@@ -179,7 +187,7 @@ class Warehouse:
             raise FileNotFoundError(f"table {table} has no base snapshot to append to")
         seg = f"seg-{m['version'] + 1}"
         path = os.path.join(self.root, table, seg)
-        w = df.write.mode("overwrite")
+        w = df.write.mode("overwrite").option("parquet.block.size", 4 << 20)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
