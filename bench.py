@@ -97,17 +97,29 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     )
 
     tmp = keep_tables or tempfile.mkdtemp(prefix="bench_wh_", dir=_TMPBASE)
-    # fine-grained scans for the whole pipeline: ~2 MB splits / 256 KB open
-    # cost give the corpus scan ~3-4 task waves (the 4 MB default open cost
-    # bin-packed the 256 small corpus files into 64 single-wave-adjacent
-    # partitions) and — with the 1 MB row groups below — the chunk scan
-    # ~140 balanced tasks. More waves = stragglers absorbed by fast
-    # threads; same lever as over-partitioning on a real cluster.
+    # fine-grained scans for the whole pipeline, sized to ~4 task waves AT
+    # THIS SESSION'S core count: the 4 MB default open cost bin-packed the
+    # 256 small corpus files into 64 single-wave-adjacent partitions (one
+    # straggler set the stage wall), while a fixed tiny split would charge
+    # a low-core config ~17 waves of per-task overhead. target = bytes /
+    # (cores × 4), floored at 1 MB — the local analogue of tuning split
+    # size to executor-cores × files on a real cluster.
+    cores = spark.sparkContext.defaultParallelism
     saved = {k: spark.conf.get(k) for k in
              ("spark.sql.files.maxPartitionBytes", "spark.sql.files.openCostInBytes")}
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 18))
-    toks = spark.read.parquet(materialize_corpus(spark, n_docs, seed))
+
+    def _split_for(path: str) -> None:
+        nbytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path) for f in fs if not f.startswith("_")
+        )
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+                       str(max(1 << 20, nbytes // (cores * 4))))
+
+    corpus_path = materialize_corpus(spark, n_docs, seed)
+    _split_for(corpus_path)
+    toks = spark.read.parquet(corpus_path)
 
     t0 = time.perf_counter()
     chunks_path = os.path.join(tmp, "chunks")
@@ -135,8 +147,9 @@ def headline(spark, n_docs: int, seed: int = 42, keep_tables: str | None = None)
     ).collect()[0]
     n_tokens, bytes_raw, bytes_comp, inversions = (int(x) for x in agg)
 
-    # re-plan the chunk scan under the fine-grained confs (measured:
+    # re-plan the chunk scan at ~4 waves for the decode stage (measured:
     # 13.5 s single-wave → 7.6 s for the rollup stage, same storm window)
+    _split_for(chunks_path)
     chunks = spark.read.parquet(chunks_path)
     t0 = time.perf_counter()
     tiers_path = os.path.join(tmp, "tiers")
