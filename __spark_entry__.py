@@ -2,8 +2,10 @@
 
 ``entry``   — flagship: tokens → seriesize → flush (compressed-domain
               sort + encode) → tier rollup cascade, on sf0.001-scale input.
-``queries`` — every implemented operator from SURVEY.md §2 (53 entries).
-``oracle_sql`` — DuckDB equivalents for the 44 SQL-expressible ones;
+``queries`` — every implemented operator from SURVEY.md §2 (50 entries;
+              `time_joins` and `gapfill_fill_modes` are tagged unions of
+              3 variants each, so the operator count is higher).
+``oracle_sql`` — DuckDB equivalents for the 41 SQL-expressible ones;
               the 9 others (hash/centroid-based LSH/SimHash/IVF candidates,
               the synthetic tokens pipeline whose generator can't run
               inside DuckDB) are rows-only here and exact-oracle-tested

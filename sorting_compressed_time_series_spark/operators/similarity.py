@@ -96,18 +96,21 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 7) -> np.ndarray:
 
 
 def lsh_buckets(emb: DataFrame, n_bits: int = 8, seed: int = 7) -> DataFrame:
-    """Sign-bit bucket id per vector (random hyperplane LSH)."""
-    dim = len(emb.select("embedding").first()[0])
-    planes = hyperplanes(dim, n_bits, seed)
-    spark = emb.sparkSession
-    bp = spark.sparkContext.broadcast(planes)
+    """Sign-bit bucket id per vector (random hyperplane LSH).
+
+    The hyperplanes are a pure function of (dim, n_bits, seed), so every
+    task derives them locally from its first batch's dim — no driver-side
+    dim-sniff job, no broadcast, and `lsh_buckets` stays a zero-job plan
+    transformation until an action runs."""
 
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pl = bp.value
+        pl = None
         for b in batches:
             if b.num_rows == 0:
                 continue
             m = _emb_matrix(b.column("embedding"))
+            if pl is None or pl.shape[1] != m.shape[1]:
+                pl = hyperplanes(m.shape[1], n_bits, seed)
             signs = (m @ pl.T) > 0
             bucket = np.zeros(len(m), dtype=np.int64)
             for j in range(signs.shape[1]):
@@ -326,49 +329,166 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     )
 
 
-def cosine_dup_pairs(emb: DataFrame, tau: float = 0.8) -> DataFrame:
+def cosine_dup_pairs(emb: DataFrame, tau: float = 0.8,
+                     n_blocks: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
-    cosine(a, b) ≥ tau — the exact verifier of the embedding-dedup family
-    (the scale path generates candidates with `lsh_topk`/`ivf_topk` buckets
-    first and verifies only within buckets, exactly like `jaccard_pairs`
-    is the exact verifier behind MinHash-LSH).
+    cosine(a, b) ≥ tau — the EXACT verifier of the embedding-dedup family
+    (like `jaccard_pairs` behind MinHash-LSH; `cosine_dup_pairs_lsh` below
+    is the approximate candidate-first path for corpora where quadratic
+    verify is off the table).
 
-    Physical shape: the normalized corpus matrix is broadcast once (gate
-    scale; at 100 TB the broadcast side is the LSH/IVF candidate set, not
-    the corpus) and every Arrow batch does ONE float64 matmul against it —
-    a single corpus pass, pairs emitted only for the upper triangle.
+    Physical shape — distributed BLOCK-PAIR (triangle) join, no driver
+    collect, no O(corpus) broadcast: every vector is hashed into one of
+    ``n_blocks`` blocks; each of the n_blocks*(n_blocks+1)/2 unordered
+    block pairs (i ≤ j) becomes one grouped-map task that does a single
+    float64 (|Bi| × |Bj|) matmul and emits only the qualifying id pairs.
+    Each unordered vector pair lands in exactly ONE group, so no distinct
+    pass is needed.  Shuffle volume is corpus × (n_blocks+1) rows — the
+    standard exact all-pairs trade (replication √tasks) — and compute is
+    the inherent O(n²/2) dot products, spread evenly because blocks are
+    hash-balanced.  At 1000 executors, raise n_blocks ≈ √(2 × cores) so
+    every core gets a block-pair; the per-task memory is 2 × (n/n_blocks)
+    vectors, independent of total corpus size.
+
     Output is integer-only (a, b) so the DuckDB oracle compares exactly
     (float scores never cross the gate hash)."""
-    import numpy as np
-    import pyarrow as pa
-    from collections.abc import Iterator
-
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m = np.array([list(r.embedding) for r in rows], dtype=np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(ids)
     spark = emb.sparkSession
-    bm = spark.sparkContext.broadcast((ids[order], m[order]))
+    if n_blocks is None:
+        par = spark.sparkContext.defaultParallelism
+        n_blocks = max(8, int(np.ceil(np.sqrt(2 * par))))
+    nb = int(n_blocks)
+
+    withb = emb.select("vec_id", "embedding").withColumn(
+        "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    )
+    # A vector in block b participates as the LEFT side of groups (b, j≥b)
+    # and the RIGHT side of groups (i≤b, b); the diagonal group (b, b)
+    # reads the left copy only.
+    left = withb.select(
+        "vec_id", "embedding",
+        F.col("blk").alias("gi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("gj"),
+        F.lit(0).alias("side"),
+    )
+    right = withb.filter(F.col("blk") > 0).select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("gi"),
+        F.col("blk").alias("gj"),
+        F.lit(1).alias("side"),
+    )
+    both = left.unionByName(right)
+
+    def kern(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        gi = tbl.column("gi")[0].as_py()
+        gj = tbl.column("gj")[0].as_py()
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _emb_matrix(tbl.column("embedding"))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        if gi == gj:
+            sel = side == 0
+            ids_l, ids_r = ids[sel], ids[sel]
+            scores = m[sel] @ m[sel].T
+        else:
+            l, r = side == 0, side == 1
+            ids_l, ids_r = ids[l], ids[r]
+            scores = m[l] @ m[r].T
+        hit = scores >= tau
+        hit &= ids_l[:, None] != ids_r[None, :]
+        ai, bj = np.nonzero(hit)
+        a, b = ids_l[ai], ids_r[bj]
+        keep = a < b if gi == gj else np.ones(len(a), dtype=bool)
+        lo = np.minimum(a[keep], b[keep]).astype(np.int64)
+        hi = np.maximum(a[keep], b[keep]).astype(np.int64)
+        return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+
+    return both.groupBy("gi", "gj").applyInArrow(kern, schema="a bigint, b bigint")
+
+
+def cosine_dup_pairs_lsh(emb: DataFrame, tau: float = 0.8,
+                         n_tables: int = 8, n_bits: int = 8,
+                         seed: int = 101, bucket_cap: int = 2000) -> DataFrame:
+    """Approximate embedding near-dup pairs — the candidate-first path for
+    corpora where exact O(n²) verify is off the table: ``n_tables``
+    independent sign-LSH tables bucket every vector once (one corpus pass,
+    one kernel emitting (table, bucket) per vector per table), candidate
+    pairs are the same-(table, bucket) self-join, de-duplicated across
+    tables, and only candidates pay the exact float64 cosine (JVM-side
+    higher-order functions, whole-stage codegen).
+
+    Recall follows the standard banding bound: a pair at cosine c collides
+    in one table with p(c)^n_bits where p(c) = 1 − acos(c)/π, and survives
+    with 1 − (1 − p^n_bits)^n_tables — near-1 for genuine near-dups
+    (c ≥ 0.9 ⇒ ≥ 0.98 at the defaults), vanishing for the random-cosine
+    background, which is exactly the split a dedup pipeline wants.
+    Buckets larger than ``bucket_cap`` are dropped (they are degenerate
+    hubs — e.g. all-zero embeddings — that would re-quadratify the join);
+    the drop is observable in the candidate counts, never silent data loss
+    for real near-dup clusters sized below the cap.
+
+    Scale shape: shuffle is corpus × n_tables fixed-width (id, bucket)
+    rows — the corpus' embedding column is only re-joined for the
+    candidate ids; no driver collect, no corpus broadcast, no full
+    cross-join anywhere."""
+    ids_only = emb.select("vec_id", "embedding")
 
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        all_ids, mat = bm.value
+        pl = None
         for b in batches:
             if b.num_rows == 0:
                 continue
-            bm_ = _emb_matrix(b.column("embedding"))
-            bm_ = bm_ / np.maximum(np.linalg.norm(bm_, axis=1, keepdims=True), 1e-12)
-            bids = b.column("vec_id").to_numpy(zero_copy_only=False)
-            scores = bm_ @ mat.T  # (batch, corpus)
-            hit = scores >= tau
-            # upper triangle only: batch id strictly below corpus id
-            hit &= bids[:, None] < all_ids[None, :]
-            ai, bj = np.nonzero(hit)
+            m = _emb_matrix(b.column("embedding"))
+            if pl is None or pl.shape[2] != m.shape[1]:
+                pl = hyperplanes(m.shape[1], n_bits * n_tables, seed).reshape(
+                    n_tables, n_bits, m.shape[1]
+                )
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            out_v, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                signs = (m @ pl[t].T) > 0
+                bucket = np.zeros(len(m), dtype=np.int64)
+                for j in range(n_bits):
+                    bucket |= signs[:, j].astype(np.int64) << j
+                out_v.append(vid)
+                out_t.append(np.full(len(m), t, dtype=np.int32))
+                out_b.append(bucket)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(bids[ai].astype(np.int64)), pa.array(all_ids[bj])],
-                names=["a", "b"],
+                [pa.array(np.concatenate(out_v)),
+                 pa.array(np.concatenate(out_t)),
+                 pa.array(np.concatenate(out_b))],
+                names=["vec_id", "tbl", "bucket"],
             )
 
-    return emb.select("vec_id", "embedding").mapInArrow(
-        kern, schema="a bigint, b bigint"
+    tb = ids_only.mapInArrow(
+        kern, schema="vec_id bigint, tbl int, bucket bigint"
+    )
+    sizes = tb.groupBy("tbl", "bucket").agg(F.count("*").alias("n"))
+    tb = tb.join(
+        F.broadcast(sizes.filter(F.col("n") > bucket_cap)),
+        ["tbl", "bucket"], "left_anti",
+    )
+    cand = (
+        tb.alias("x")
+        .join(tb.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = ids_only.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
+    eb = ids_only.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
+    joined = cand.join(ea, "a").join(eb, "b")
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    return (
+        joined.withColumn("score", dot / (norm(F.col("e_a")) * norm(F.col("e_b"))))
+        .filter(F.col("score") >= tau)
+        .select("a", "b")
     )

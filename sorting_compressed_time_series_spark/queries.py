@@ -1150,9 +1150,13 @@ def ann_cosine_topk(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cos ≥ 0.35 — sized to the
-    synthetic corpus' cluster geometry, max pairwise cos ≈ 0.51), integer-only output so
-    the oracle hash is float-free; the exact verifier of the embedding
-    dedup family (LSH/IVF candidates are the scale path)."""
+    synthetic corpus' random-cosine tail, max pairwise cos ≈ 0.51),
+    integer-only output so the oracle hash is float-free. Runs the
+    distributed block-pair EXACT verifier (no driver collect, no corpus
+    broadcast — see operators/similarity.py:cosine_dup_pairs);
+    `cosine_dup_pairs_lsh` is the candidate-first path for corpora where
+    quadratic verify is off the table (recall pytest in
+    tests/test_training_ops.py)."""
     from .operators.similarity import cosine_dup_pairs
 
     return cosine_dup_pairs(_embeddings(spark, sf_dir), tau=0.35)

@@ -150,3 +150,70 @@ def test_multimodal_frame_sample(spark, docs):
     }
     assert got_map == want
     assert all(len(v) == fb for v in got_map.values())
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark):
+    """sf0.001 embeddings + planted near-duplicates: copies of the first 5
+    vectors with a small deterministic perturbation (cosine 0.92–0.99)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pert = F.transform(
+        "embedding",
+        lambda x, i: x + (F.col("vec_id") % 7 + i % 3).cast("float") * F.lit(0.01),
+    )
+    dup = (
+        emb.filter(F.col("vec_id") < 5)
+        .withColumn("embedding", pert)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    return emb.unionByName(dup).cache()
+
+
+def _np_cosine_pairs(df, tau):
+    pdf = df.select("vec_id", "embedding").toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    s = m @ m.T
+    iu = np.triu_indices(len(ids), 1)
+    hit = s[iu] >= tau
+    a = np.minimum(ids[iu[0][hit]], ids[iu[1][hit]])
+    b = np.maximum(ids[iu[0][hit]], ids[iu[1][hit]])
+    return set(zip(a.tolist(), b.tolist()))
+
+
+def test_cosine_dup_pairs_matches_bruteforce(spark, emb_with_dups):
+    """Block-pair distributed exact == numpy all-pairs, at a tau that
+    keeps both planted near-dups and random-tail background pairs."""
+    want = _np_cosine_pairs(emb_with_dups, 0.35)
+    got = SIM.cosine_dup_pairs(emb_with_dups, tau=0.35, n_blocks=5).toPandas()
+    assert set(zip(got.a, got.b)) == want
+    assert want, "planted dups must appear"
+
+
+def test_cosine_dup_pairs_no_driver_collect(spark, emb_with_dups, monkeypatch):
+    """The exact verifier must never pull the corpus to the driver: the
+    whole build+execute runs with DataFrame.collect forbidden."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side collect in cosine_dup_pairs")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    n = SIM.cosine_dup_pairs(emb_with_dups, tau=0.35, n_blocks=4).count()
+    assert n > 0
+
+
+def test_cosine_dup_pairs_lsh_recall_on_near_dups(spark, emb_with_dups):
+    """The LSH candidate-first path recovers the planted high-cosine
+    near-dups (banding bound ≈ 1 at cosine ≥ 0.95) while pruning the
+    quadratic candidate space; verified pairs are a subset of exact."""
+    exact = _np_cosine_pairs(emb_with_dups, 0.9)
+    assert len(exact) >= 5
+    got = SIM.cosine_dup_pairs_lsh(
+        emb_with_dups, tau=0.9, n_tables=12, n_bits=6
+    ).toPandas()
+    got_pairs = set(zip(got.a, got.b))
+    recall = len(exact & got_pairs) / len(exact)
+    assert recall >= 0.9, f"LSH dup recall {recall}"
+    assert got_pairs <= _np_cosine_pairs(emb_with_dups, 0.9 - 1e-9)
