@@ -304,6 +304,13 @@ class Warehouse:
                 shutil.rmtree(os.path.join(base, f"{partition_col}={v}"),
                               ignore_errors=True)
         if dropped:
+            # a bucketed snapshot's session-catalog registration caches the
+            # pre-drop file listing — reads through it would hit
+            # FileNotFoundException on the removed partition dirs. Clear the
+            # bucket spec so read() falls back to a fresh parquet listing of
+            # the surviving dirs (correct, just re-shuffling until the next
+            # bucketed rewrite re-registers the table).
+            m["bucket_spec"] = None
             m["version"] += 1
             m["lineage"] = (m["lineage"] + [
                 {"op": op, "dropped": dropped, "ts": time.time(),

@@ -220,3 +220,24 @@ def test_pipeline_compact_after_append(spark, tmp_path_factory):
     for s in _tiers():
         after = _collect(wh.read(spark, s.name))
         pd.testing.assert_frame_equal(before[s.name], after[before[s.name].columns], check_dtype=False)
+
+
+def test_drop_partitions_on_bucketed_table_reads_back(spark, tmp_path_factory):
+    """Retention on a BUCKETED snapshot: the session-catalog registration
+    caches the pre-drop file listing, so drop_partitions must invalidate
+    the bucket fast path or reads die with FileNotFoundException
+    (chunks_tier0 is bucketed by default, so TTL hit this in-session)."""
+    from sorting_compressed_time_series_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path_factory.mktemp("wh_bktdrop")))
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).alias("p_day"),
+        (F.col("id") * 2).alias("v"),
+    )
+    wh.write(df, "chunks", partition_by=("p_day",), bucket_by=("doc_id", 4))
+    dropped = wh.drop_partitions("chunks", "p_day", 2)
+    assert dropped == [0, 1]
+    out = wh.read(spark, "chunks").toPandas()
+    assert sorted(out.p_day.unique().tolist()) == [2, 3, 4]
+    assert len(out) == 60
