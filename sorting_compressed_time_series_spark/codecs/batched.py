@@ -20,13 +20,23 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bitpacked import _DOD_WIDTH, _clz64, _ctz64, _dod_classify, pack_bits, unpack_bits
+from .bitpacked import (
+    TS2DIFF_BLOCK,
+    _DOD_WIDTH,
+    _bitlen_u64,
+    _clz64,
+    _ctz64,
+    _dod_classify,
+    pack_bits,
+    unpack_bits,
+)
 from .bytealigned import CLASS_WIDTH, _classify, unzigzag, zigzag
 from .chunk import (
     CODEC_DELTA,
     CODEC_DOD,
     CODEC_GORILLA,
     CODEC_GORILLA_F64,
+    CODEC_TS2DIFF,
     CODEC_VARINT,
     MAGIC,
     VERSION,
@@ -693,6 +703,135 @@ def gorilla_decode_rows(
     return out, splits
 
 
+def ts2diff_encode_rows(
+    flat_values: np.ndarray, row_splits: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched TS_2DIFF (block min-delta, reference
+    DeltaBinaryEncoder.java:46-129 block layout): every 128-delta block of
+    every row in the batch is one row of ONE (total_blocks × 128) matrix, so
+    min/width/relativize are three whole-array passes and the payload is a
+    single `pack_bits_rows` call.  Per-row blobs are byte-identical to
+    ``encode_chunk(row, CODEC_TS2DIFF)`` (asserted by pytest)."""
+    flat = np.ascontiguousarray(flat_values, dtype=np.int64)
+    splits = np.ascontiguousarray(row_splits, dtype=np.int64)
+    counts, row_starts, nz_starts, keep, enc_counts, enc_splits = _enc_domain(
+        len(flat), splits
+    )
+    n_rows = len(counts)
+    B = TS2DIFF_BLOCK
+    m = enc_counts  # deltas per row
+    nb = (m + B - 1) // B  # blocks per row
+    idx = np.nonzero(keep)[0]
+    deltas = flat[idx] - flat[idx - 1]
+    total_blocks = int(nb.sum())
+    if total_blocks:
+        block_row = np.repeat(np.arange(n_rows, dtype=np.int64), nb)
+        cum_nb = np.cumsum(nb) - nb
+        block_in_row = np.arange(total_blocks, dtype=np.int64) - cum_nb[block_row]
+        block_start = enc_splits[:-1][block_row] + block_in_row * B
+        block_count = np.minimum(m[block_row] - block_in_row * B, B)
+        slot = np.arange(B, dtype=np.int64)
+        validm = slot[None, :] < block_count[:, None]
+        # the scalar encoder pads a short final block with the block's own
+        # first delta — clamp pad slots to the block start to match
+        gidx = np.where(validm, block_start[:, None] + slot[None, :],
+                        block_start[:, None])
+        mat = deltas[gidx]
+        mins = mat.min(axis=1)
+        rel = (mat - mins[:, None]).astype(np.uint64)
+        maxs = rel.max(axis=1)
+        widths = np.zeros(total_blocks, dtype=np.int64)
+        nzb = maxs > 0
+        widths[nzb] = _bitlen_u64(maxs[nzb])
+        flat_rel = rel[validm]
+        flat_w = np.repeat(widths, block_count)
+        table = np.zeros(total_blocks * 9, dtype=np.uint8)
+        tv = table.reshape(total_blocks, 9)
+        tv[:, :8] = mins.astype("<i8").view(np.uint8).reshape(total_blocks, 8)
+        tv[:, 8] = widths.astype(np.uint8)
+    else:
+        flat_rel = np.empty(0, np.uint64)
+        flat_w = np.empty(0, np.int64)
+        table = np.empty(0, np.uint8)
+        block_count = np.empty(0, np.int64)
+    pay_buf, pay_sp = pack_bits_rows(flat_rel, flat_w, enc_splits)
+    pay_len = np.diff(pay_sp)
+    has_first = (counts >= 1).astype(np.int64)
+    blob_len = 8 + has_first * 8 + 9 * nb + pay_len
+    blob_splits = np.empty(n_rows + 1, dtype=np.int64)
+    blob_splits[0] = 0
+    np.cumsum(blob_len, out=blob_splits[1:])
+    out = np.zeros(int(blob_splits[-1]), dtype=np.uint8)
+    starts = blob_splits[:-1]
+    _write_headers(out, starts, CODEC_TS2DIFF, counts)
+    nz = counts >= 1
+    if nz.any():
+        firsts = flat[row_starts[nz]].astype("<i8").view(np.uint8).reshape(-1, 8)
+        fs = starts[nz]
+        for b in range(8):
+            out[fs + 8 + b] = firsts[:, b]
+    body = starts + 8 + has_first * 8
+    _block_place(out, body, table, 9 * nb)
+    _block_place(out, body + 9 * nb, pay_buf, pay_len)
+    return out, blob_splits
+
+
+def ts2diff_decode_rows(
+    blob_buffer: np.ndarray, blob_splits: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched TS_2DIFF decode: gather all rows' block tables and payload
+    planes, one `unpack_bits_rows`, one segmented cumsum."""
+    buf = np.ascontiguousarray(blob_buffer, dtype=np.uint8)
+    bs = np.ascontiguousarray(blob_splits, dtype=np.int64)
+    n_rows = len(bs) - 1
+    starts = bs[:-1]
+    B = TS2DIFF_BLOCK
+    n = _read_u32_le(buf, starts + 4)
+    m = np.maximum(n - 1, 0)
+    nb = (m + B - 1) // B
+    has_first = (n >= 1).astype(np.int64)
+    firsts = np.zeros(n_rows, dtype=np.int64)
+    nz = n >= 1
+    if nz.any():
+        firsts[nz] = _read_u64_le(buf, starts[nz] + 8).view(np.int64)
+    table_start = starts + 8 + has_first * 8
+    total_blocks = int(nb.sum())
+    out_splits = np.empty(n_rows + 1, dtype=np.int64)
+    out_splits[0] = 0
+    np.cumsum(n, out=out_splits[1:])
+    out = np.empty(int(out_splits[-1]), dtype=np.int64)
+    out[out_splits[:-1][nz]] = firsts[nz]
+    if total_blocks == 0:
+        return out, out_splits
+    block_row = np.repeat(np.arange(n_rows, dtype=np.int64), nb)
+    cum_nb = np.cumsum(nb) - nb
+    block_in_row = np.arange(total_blocks, dtype=np.int64) - cum_nb[block_row]
+    tstart = table_start[block_row] + 9 * block_in_row
+    mins = _read_u64_le(buf, tstart).view(np.int64)
+    widths = buf[tstart + 8].astype(np.int64)
+    block_count = np.minimum(m[block_row] - block_in_row * B, B)
+    flat_w = np.repeat(widths, block_count)
+    enc_splits = np.empty(n_rows + 1, dtype=np.int64)
+    enc_splits[0] = 0
+    np.cumsum(m, out=enc_splits[1:])
+    pay_start = table_start + 9 * nb
+    pay_len = bs[1:] - pay_start
+    pbuf = np.empty(int(pay_len.sum()), dtype=np.uint8)
+    _block_gather(pbuf, buf, pay_start, pay_len)
+    rel = unpack_bits_rows(pbuf, flat_w, enc_splits)
+    deltas = rel.view(np.int64) + np.repeat(mins, block_count)
+    # segmented cumsum: global running sum, re-based per row (two's
+    # complement wrap matches the scalar per-row cumsum)
+    cs = np.cumsum(deltas)
+    cs_before = np.concatenate([[0], cs])[enc_splits[:-1]]
+    base = np.repeat(firsts - cs_before, m)
+    pos = np.repeat(out_splits[:-1] + 1 - enc_splits[:-1], m) + np.arange(
+        len(deltas), dtype=np.int64
+    )
+    out[pos] = cs + base
+    return out, out_splits
+
+
 # ---------------------------------------------------------------------------
 # codec-dispatching batched chunk encode/decode
 # ---------------------------------------------------------------------------
@@ -703,11 +842,13 @@ def encode_chunk_rows(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Encode one Arrow batch of series into chunk blobs, batched whenever
     the codec has a multi-row kernel, per-row scalar fallback otherwise
-    (TS2DIFF). Float inputs are expected for CODEC_GORILLA_F64 only."""
+    (CHIMP). Float inputs are expected for CODEC_GORILLA_F64 only."""
     if codec in (CODEC_DELTA, CODEC_VARINT):
         return encode_rows(flat_values, row_splits, codec)
     if codec == CODEC_DOD:
         return dod_encode_rows(flat_values, row_splits)
+    if codec == CODEC_TS2DIFF:
+        return ts2diff_encode_rows(flat_values, row_splits)
     if codec == CODEC_GORILLA:
         pats = np.ascontiguousarray(flat_values, dtype=np.int64).view(np.uint64)
         return gorilla_encode_rows(pats, row_splits, CODEC_GORILLA)
@@ -735,7 +876,7 @@ def decode_chunk_rows(
     blob_buffer: np.ndarray, blob_splits: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode one Arrow batch of chunk blobs (all the same codec): batched
-    kernels for DELTA/VARINT/DOD/GORILLA, per-row fallback otherwise.
+    kernels for DELTA/VARINT/DOD/GORILLA/TS2DIFF, per-row fallback otherwise.
     Returns (flat values — float64 for GORILLA_F64, else int64, splits)."""
     buf = np.ascontiguousarray(blob_buffer, dtype=np.uint8)
     bs = np.ascontiguousarray(blob_splits, dtype=np.int64)
@@ -752,6 +893,8 @@ def decode_chunk_rows(
         pats, splits = gorilla_decode_rows(buf, bs)
         view = np.float64 if codec == CODEC_GORILLA_F64 else np.int64
         return pats.view(view), splits
+    if codec == CODEC_TS2DIFF:
+        return ts2diff_decode_rows(buf, bs)
     rows = [
         decode_chunk(buf[bs[i] : bs[i + 1]].tobytes()) if bs[i + 1] - bs[i] >= 4
         else np.empty(0, np.int64)

@@ -210,14 +210,45 @@ def test_batched_decode_reads_scalar_bitpacked_blobs():
     assert np.array_equal(vals, flat) and np.array_equal(vsp, splits)
 
 
-def test_ts2diff_fallback_roundtrip():
+def test_ts2diff_rows_byte_identical_to_scalar():
     rng = np.random.default_rng(10)
-    rows, flat, splits = _ts_rows(rng, 10)
+    rows, flat, splits = _ts_rows(rng, 60)
     buf, bsp = encode_chunk_rows(flat, splits, CODEC_TS2DIFF)
     for i, r in enumerate(rows):
         assert buf[bsp[i]:bsp[i + 1]].tobytes() == encode_chunk(r, CODEC_TS2DIFF)
     vals, vsp = decode_chunk_rows(buf, bsp)
     assert np.array_equal(vals, flat) and np.array_equal(vsp, splits)
+
+
+def test_ts2diff_rows_block_boundaries_and_negatives():
+    """Block-edge row lengths (128k and 128k±1 deltas), negative and huge
+    deltas, constant rows (zero-width blocks) — byte-identical to scalar
+    and exact round trip, both directions of interop."""
+    rng = np.random.default_rng(11)
+    rows = [
+        np.arange(129, dtype=np.int64) * 7,                 # exactly 1 full block
+        np.arange(130, dtype=np.int64) * -3,                # 1 block + 1-delta block
+        np.arange(257, dtype=np.int64),                     # 2 full blocks
+        np.full(200, 42, dtype=np.int64),                   # constant: width-0 blocks
+        rng.integers(-2**55, 2**55, size=300).astype(np.int64),  # wild deltas
+        np.array([5], dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    ]
+    flat = np.concatenate(rows)
+    splits = np.zeros(len(rows) + 1, np.int64)
+    np.cumsum([len(r) for r in rows], out=splits[1:])
+    buf, bsp = encode_chunk_rows(flat, splits, CODEC_TS2DIFF)
+    for i, r in enumerate(rows):
+        assert buf[bsp[i]:bsp[i + 1]].tobytes() == encode_chunk(r, CODEC_TS2DIFF)
+    vals, vsp = decode_chunk_rows(buf, bsp)
+    assert np.array_equal(vals, flat) and np.array_equal(vsp, splits)
+    # batched decode must also read scalar-encoded blobs
+    blobs = [encode_chunk(r, CODEC_TS2DIFF) for r in rows]
+    cat = np.frombuffer(b"".join(blobs), np.uint8)
+    bsp2 = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=bsp2[1:])
+    vals2, vsp2 = decode_chunk_rows(cat, bsp2)
+    assert np.array_equal(vals2, flat) and np.array_equal(vsp2, splits)
 
 
 def test_gorilla_rows_constant_and_extreme():
