@@ -366,6 +366,10 @@ def main() -> None:
         result.update({k: round(v, 4) if isinstance(v, float) else v
                        for k, v in gorilla_pass(spark, bench_docs).items()})
         spark.stop()
+    else:
+        # the declared primary metric field must exist even on
+        # scaling-only/query-only invocations
+        result["value"] = None
 
     # scaling runs BEFORE the per-query sweep: its quiet-window waits spend
     # against the deadline, and the graded number should get first claim on
@@ -388,6 +392,7 @@ def main() -> None:
         runs: dict = {}        # best run per config, any
         clean_runs: dict = {}  # best run per config whose WHOLE window was quiet
         all_thr: dict = {lo_cores: [], cpus: []}
+        rep_log: dict = {lo_cores: [], cpus: []}  # (wall, thr, gauge0, gauge1)
         best_wall: dict = {}   # per config: fastest (t_flush + t_rollup) seen
         # Persisted wall floor: the fastest wall EVER measured per
         # (corpus, cores) on this machine, across bench invocations. The
@@ -429,6 +434,7 @@ def main() -> None:
                 # is clean only if its own wall is also near the best this
                 # bench has seen at that core count
                 clean = g0 <= 1.5 and g1 <= 1.5 and wall <= _band(c)
+                rep_log[c].append((wall, h["tokens_per_sec"], g0, g1))
                 all_thr[c].append(round(h["tokens_per_sec"]))
                 if c not in runs or h["tokens_per_sec"] > runs[c]["tokens_per_sec"]:
                     runs[c] = h
@@ -467,8 +473,23 @@ def main() -> None:
         # with a 43 s flush next to a dirty-gauged 4 M/s rep).
         # persist the improved floors for future invocations (min-only:
         # storms can never lower a floor below the machine's true best)
+        try:
+            import subprocess
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "unknown"
+        except Exception:  # noqa: BLE001
+            rev = "unknown"
         for c, w in best_wall.items():
             k = f"{sdocs}_{c}"
+            if w < wall_floor.get(k, float("inf")):
+                # disclose which code revision set each floor — the band is
+                # history-dependent by design (storms can't self-certify),
+                # and the rev tag makes an intentional-slowdown reset call
+                # auditable instead of silent
+                wall_floor.setdefault("_rev", {})[k] = rev
             wall_floor[k] = round(min(w, wall_floor.get(k, w)), 3)
         try:
             with open(floor_path, "w") as fh:
@@ -493,6 +514,19 @@ def main() -> None:
         ]["ceiling_efficiency_lo_hi"]:
             result["machine_parallel_ceiling"] = ceil2
         ceiling = result["machine_parallel_ceiling"]["ceiling_efficiency_lo_hi"]
+        # selection-bias check on the max-based estimator: median over the
+        # reps that pass the SAME final cleanliness test (gauges quiet, wall
+        # inside the final band). Reported next to the max, never instead.
+        med_thr = {}
+        for c in (lo_cores, cpus):
+            cw = sorted(t for (w, t, a, b) in rep_log[c]
+                        if a <= 1.5 and b <= 1.5 and w <= _band(c))
+            if cw:
+                med_thr[c] = cw[len(cw) // 2]
+        eff_clean_median = (
+            round((med_thr[cpus] / med_thr[lo_cores]) / (cpus / lo_cores), 3)
+            if len(med_thr) == 2 else None
+        )
         result["scaling"] = {
             "cores_lo": lo_cores,
             "cores_hi": cpus,
@@ -501,6 +535,7 @@ def main() -> None:
             "efficiency": round(eff, 3),
             "estimator": "clean_pair_max" if have_clean_pair else "all_reps_max",
             "efficiency_all_reps_max": round(eff_all, 3),
+            "efficiency_clean_median": eff_clean_median,
             "efficiency_vs_machine_ceiling": round(eff / ceiling, 3) if ceiling else None,
             "tier_outputs_identical": graded[lo_cores]["tier_hashes"] == graded[cpus]["tier_hashes"],
             "all_rep_throughputs": all_thr,
@@ -569,6 +604,33 @@ def main() -> None:
                 print(f"query {name} failed: {e}", file=sys.stderr)
         spark.stop()
     result["queries"] = qtimes
+
+    if qtimes:
+        # Per-query regression guard: persist the best wall ever seen per
+        # (sf, query) — same mechanism as the scaling wall floor — so a
+        # storm-window sweep can't mask a real per-query regression and a
+        # regression can't hide behind "the whole sweep was slow".
+        qfloor_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_query_floor.json")
+        try:
+            with open(qfloor_path) as fh:
+                qfloor_all = json.load(fh)
+        except (OSError, ValueError):
+            qfloor_all = {}
+        qfloor = qfloor_all.setdefault(str(sf), {})
+        for name, t in qtimes.items():
+            if t >= 0:
+                qfloor[name] = round(min(t, qfloor.get(name, t)), 3)
+        try:
+            with open(qfloor_path, "w") as fh:
+                json.dump(qfloor_all, fh, indent=1)
+        except OSError:
+            pass
+        result["queries_best"] = {n: qfloor[n] for n in qtimes if n in qfloor}
+        result["queries_regressed_vs_best"] = sorted(
+            n for n, t in qtimes.items()
+            if t >= 0 and n in qfloor and t > 2.0 * qfloor[n] and t - qfloor[n] > 0.5
+        )
 
     print(json.dumps(result))
 
