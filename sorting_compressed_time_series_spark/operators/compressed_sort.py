@@ -139,18 +139,37 @@ def compressed_sort(
         return t, v, lineage
 
     lineage["path"] = "rotate"
-    scan_from = 1
-    while True:
-        # first inversion at/after scan_from
-        inv = np.flatnonzero(ts[scan_from:] < ts[scan_from - 1 : -1])
+    _rotation_sort_range(time_data, value_data, ts, 0, n, lineage)
+    return time_data, value_data, lineage
+
+
+def _rotation_sort_range(
+    time_data: ByteAlignedData,
+    value_data: ByteAlignedData,
+    ts: np.ndarray,
+    lo: int,
+    hi: int,
+    lineage: dict,
+) -> None:
+    """The blockSort loop bounded to ``ts[lo:hi]``: find the first inversion
+    in the range, rotate the out-of-order run into place in both planes,
+    patch the three boundary deltas, repeat. Only positions in [lo, hi]
+    are touched (the delta AT ``hi`` is re-patched when ``ts[hi-1]``
+    changes, keeping the global stream consistent); ``ts`` is updated in
+    place so callers can compose ranges (the D&C merge below)."""
+    n = len(ts)
+    scan_from = lo + 1
+    while scan_from < hi:
+        # first inversion at/after scan_from, within the range
+        inv = np.flatnonzero(ts[scan_from:hi] < ts[scan_from - 1 : hi - 1])
         if len(inv) == 0:
             break
         idx = scan_from + int(inv[0])
         # insertion point: stable → equal timestamps stay before the insert
-        p = int(np.searchsorted(ts[:idx], ts[idx], side="right"))
+        p = lo + int(np.searchsorted(ts[lo:idx], ts[idx], side="right"))
         # moved block: maximal non-decreasing run from idx with ts < ts[p]
         j = idx
-        while j + 1 < n and ts[j + 1] >= ts[j] and ts[j + 1] < ts[p]:
+        while j + 1 < hi and ts[j + 1] >= ts[j] and ts[j + 1] < ts[p]:
             j += 1
         # rotate [p, idx) after [idx, j]
         _rotate_ranges(time_data, p, idx, j + 1)
@@ -165,5 +184,63 @@ def compressed_sort(
                 lineage["patched_codes"] += 1
         lineage["rotations"] += 1
         lineage["moved_elements"] += m
-        scan_from = max(j, 1)
+        scan_from = max(j, lo + 1)
+
+
+# base-case size for the divide-and-conquer sorter; reference
+# TS_DELTA_sorter.java:31 blockThreshold = 300
+DC_BLOCK_THRESHOLD = 300
+
+
+def ts_delta_sort_dc(
+    time_data: ByteAlignedData,
+    value_data: ByteAlignedData,
+    block_threshold: int = DC_BLOCK_THRESHOLD,
+) -> tuple[ByteAlignedData, ByteAlignedData, dict]:
+    """Divide-and-conquer compressed-domain sort — the reference's
+    ``TS_DELTA_sorter.sort2`` (TS_DELTA_sorter.java:31-129: recursive split
+    at an inversion point near the middle, sort halves, patch the one
+    boundary delta, then a bounded blockSort pass merges the overlap;
+    ``blockThreshold=300`` base case; semantics re-derived, no code copied).
+
+    Where ``compressed_sort``'s flat loop pays one long-distance rotation
+    per out-of-order run, the recursion keeps every rotation local to its
+    half until the final merges, which only walk the overlap between two
+    already-sorted runs — the same bounded-blockSort-as-merge the reference
+    uses. Deviation from the reference's ``findMidIndexWithPosAndValue``:
+    the split point is the first inversion at/after the midpoint (falling
+    back to the midpoint when the crossing is inversion-free) rather than
+    the second-block minimum — a constant-factor heuristic; outputs are
+    byte-identical either way because every patch re-encodes canonically.
+
+    Returns (time, value, lineage) with the same byte-identity contract as
+    ``compressed_sort``: the result equals a fresh canonical encode of the
+    stable-sorted series."""
+    ts = delta_decode(time_data)
+    n = len(ts)
+    lineage = {
+        "path": "dc", "splits": 0, "rotations": 0,
+        "patched_codes": 0, "moved_elements": 0,
+    }
+    if n < 2 or is_sorted(ts):
+        lineage["path"] = "noop"
+        return time_data, value_data, lineage
+
+    def rec(lo: int, hi: int) -> None:
+        if hi - lo <= block_threshold:
+            _rotation_sort_range(time_data, value_data, ts, lo, hi, lineage)
+            return
+        midpoint = lo + (hi - lo) // 2
+        inv = np.flatnonzero(ts[midpoint:hi] < ts[midpoint - 1 : hi - 1])
+        mid = midpoint + int(inv[0]) if len(inv) else midpoint
+        if mid >= hi:  # inversion-free tail: split at the midpoint
+            mid = midpoint
+        lineage["splits"] += 1
+        rec(lo, mid)
+        rec(mid, hi)
+        # merge: both halves sorted → the bounded loop only walks the
+        # overlap (right-run elements >= left max are never visited)
+        _rotation_sort_range(time_data, value_data, ts, lo, hi, lineage)
+
+    rec(0, n)
     return time_data, value_data, lineage

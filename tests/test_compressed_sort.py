@@ -153,3 +153,72 @@ def test_inversion_threshold_is_a_config_knob():
     assert np.array_equal(_dd(t_lo), _dd(t_hi))
     assert np.array_equal(_vd(v_lo), _vd(v_hi))
     assert t_lo.vals.tobytes() == t_hi.vals.tobytes()
+
+
+def _run_dc(ts, vs, block_threshold=300):
+    from sorting_compressed_time_series_spark.operators.compressed_sort import (
+        ts_delta_sort_dc,
+    )
+
+    ts = np.asarray(ts, dtype=np.int64)
+    vs = np.asarray(vs, dtype=np.int64)
+    td, vd, lineage = ts_delta_sort_dc(
+        delta_encode(ts), varint_encode(vs), block_threshold=block_threshold
+    )
+    want_ts, want_vs = _oracle(ts, vs)
+    assert np.array_equal(delta_decode(td), want_ts)
+    assert np.array_equal(varint_decode(vd), want_vs)
+    canon_t = delta_encode(want_ts)
+    canon_v = varint_encode(want_vs)
+    assert td.vals.tobytes() == canon_t.vals.tobytes()
+    assert np.array_equal(td.codes, canon_t.codes)
+    assert vd.vals.tobytes() == canon_v.vals.tobytes()
+    assert np.array_equal(vd.codes, canon_v.codes)
+    return lineage
+
+
+@pytest.mark.parametrize("p", [0.004, 0.05, 0.3])
+def test_dc_sort_byte_identical_across_disorder(p):
+    rng = np.random.default_rng(int(p * 1000) + 7)
+    n = 5_000
+    ts = np.cumsum(rng.integers(1, 3000, size=n)).astype(np.int64)
+    k = max(1, int(n * p))
+    idx = rng.integers(1, n, size=k)
+    ts[idx] -= rng.integers(1, 500_000, size=k)
+    vs = rng.integers(-(10**4), 10**4, size=n).astype(np.int64)
+    lineage = _run_dc(ts, vs)
+    assert lineage["path"] == "dc" and lineage["splits"] >= 1
+
+
+def test_dc_sort_tiny_and_threshold_sizes():
+    rng = np.random.default_rng(23)
+    for n in (0, 1, 2, 3, 299, 300, 301, 601):
+        ts = rng.permutation(np.arange(n) * 17).astype(np.int64)
+        vs = np.arange(n, dtype=np.int64)
+        _run_dc(ts, vs)
+
+
+def test_dc_sort_duplicates_stable():
+    ts = np.array([10, 20, 20, 5, 20, 5, 30] * 80, dtype=np.int64)
+    vs = np.arange(len(ts), dtype=np.int64)
+    _run_dc(ts, vs, block_threshold=50)
+
+
+def test_dc_equals_blocksort_output():
+    """D&C and the flat blockSort are interchangeable paths to the same
+    canonical bytes (the reference benchmarks them against each other,
+    MemtableSortTest.java)."""
+    rng = np.random.default_rng(31)
+    n = 3_000
+    ts = np.cumsum(rng.integers(1, 100, size=n)).astype(np.int64)
+    idx = rng.integers(1, n, size=30)
+    ts[idx] -= rng.integers(1, 5_000, size=30)
+    vs = rng.integers(0, 100, size=n).astype(np.int64)
+    ta, va, _ = compressed_sort(delta_encode(ts), varint_encode(vs))
+    tb, vb, _ = __import__(
+        "sorting_compressed_time_series_spark.operators.compressed_sort",
+        fromlist=["ts_delta_sort_dc"],
+    ).ts_delta_sort_dc(delta_encode(ts), varint_encode(vs))
+    assert ta.vals.tobytes() == tb.vals.tobytes()
+    assert np.array_equal(ta.codes, tb.codes)
+    assert va.vals.tobytes() == vb.vals.tobytes()
