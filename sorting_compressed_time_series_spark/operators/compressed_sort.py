@@ -187,6 +187,70 @@ def _rotation_sort_range(
         scan_from = max(j, lo + 1)
 
 
+def bounded_ooo_sort(
+    time_data: ByteAlignedData,
+    value_data: ByteAlignedData,
+    l: int = 1024,
+) -> tuple[ByteAlignedData, ByteAlignedData, dict]:
+    """Bounded-memory order/disorder-separation sort — the reference's
+    experimental memtable alternative ``disordered_uncompressing_sort(l)``
+    (CompressedTVList.java:286-398; §2.1 #22 family; semantics re-derived,
+    no code copied): each pass extracts at most ``l`` out-of-order points
+    (a point is OOO when its timestamp is below the running max of the
+    points kept in place), sorts that bounded side list, and streams it
+    back into the sequence — an OOO point lands immediately before the
+    first later kept point that exceeds it, ties keeping the kept point
+    first (which equals stable order, since an equal kept point always
+    precedes its OOO twin in arrival order). A pass that extracts fewer
+    than ``l`` points leaves the sequence sorted and ends the loop.
+
+    The memtable story: the side list is the only O(l) working set per
+    pass, so a nearly-sorted series sorts with bounded extra memory no
+    matter its length. Vectorized deviation from the reference's streaming
+    merge: insertion positions come from one ``searchsorted`` against the
+    running max of the kept stream — the same positions the stream walk
+    produces, without the per-point loop.
+
+    Returns (time, value, lineage); byte-identity contract as above."""
+    ts = delta_decode(time_data)
+    n = len(ts)
+    lineage = {"path": "bounded_ooo", "passes": 0, "extracted": 0}
+    if n < 2 or is_sorted(ts):
+        lineage["path"] = "noop"
+        return time_data, value_data, lineage
+    work = ts.copy()
+    idx = np.arange(n, dtype=np.int64)
+    while True:
+        prevmax = np.maximum.accumulate(work)
+        ooo = 1 + np.flatnonzero(work[1:] < prevmax[:-1])
+        if len(ooo) == 0:
+            break
+        take = ooo[:l]
+        lineage["passes"] += 1
+        lineage["extracted"] += len(take)
+        keep = np.ones(n, dtype=bool)
+        keep[take] = False
+        rest, rest_idx = work[keep], idx[keep]
+        sub = np.argsort(work[take], kind="stable")
+        block, block_idx = work[take][sub], idx[take][sub]
+        # first kept point exceeding x == first index where the kept
+        # stream's running max exceeds x (non-decreasing → searchsorted)
+        pos = np.searchsorted(np.maximum.accumulate(rest), block, side="right")
+        work = np.insert(rest, pos, block)
+        idx = np.insert(rest_idx, pos, block_idx)
+        if len(ooo) < l:
+            break
+        if lineage["passes"] > n:  # defensive: finish with one stable sort
+            fix = np.argsort(work, kind="stable")
+            work, idx = work[fix], idx[fix]
+            lineage["path"] = "bounded_ooo+fallback"
+            break
+    order = idx
+    new_time = delta_encode(ts[order])
+    new_value = permute(value_data, order)
+    return new_time, new_value, lineage
+
+
 # base-case size for the divide-and-conquer sorter; reference
 # TS_DELTA_sorter.java:31 blockThreshold = 300
 DC_BLOCK_THRESHOLD = 300

@@ -222,3 +222,50 @@ def test_dc_equals_blocksort_output():
     assert ta.vals.tobytes() == tb.vals.tobytes()
     assert np.array_equal(ta.codes, tb.codes)
     assert va.vals.tobytes() == vb.vals.tobytes()
+
+
+def _run_bounded(ts, vs, l):
+    from sorting_compressed_time_series_spark.operators.compressed_sort import (
+        bounded_ooo_sort,
+    )
+
+    ts = np.asarray(ts, dtype=np.int64)
+    vs = np.asarray(vs, dtype=np.int64)
+    td, vd, lineage = bounded_ooo_sort(delta_encode(ts), varint_encode(vs), l=l)
+    want_ts, want_vs = _oracle(ts, vs)
+    assert np.array_equal(delta_decode(td), want_ts)
+    assert np.array_equal(varint_decode(vd), want_vs)
+    canon_t = delta_encode(want_ts)
+    assert td.vals.tobytes() == canon_t.vals.tobytes()
+    assert np.array_equal(td.codes, canon_t.codes)
+    return lineage
+
+
+@pytest.mark.parametrize("l", [1, 7, 64, 100000])
+def test_bounded_ooo_sort_equals_stable_sort(l):
+    rng = np.random.default_rng(l)
+    n = 3_000
+    ts = np.cumsum(rng.integers(1, 3000, size=n)).astype(np.int64)
+    idx = rng.integers(1, n, size=60)
+    ts[idx] -= rng.integers(1, 300_000, size=60)
+    vs = rng.integers(-(10**4), 10**4, size=n).astype(np.int64)
+    lineage = _run_bounded(ts, vs, l)
+    assert lineage["path"].startswith("bounded_ooo")
+    if l >= 60:
+        # one pass when the side list holds every OOO point
+        assert lineage["passes"] == 1
+
+
+def test_bounded_ooo_sort_multipass_and_duplicates():
+    ts = np.array([50, 10, 50, 10, 60, 5, 60, 5, 70] * 40, dtype=np.int64)
+    vs = np.arange(len(ts), dtype=np.int64)
+    lineage = _run_bounded(ts, vs, l=3)
+    assert lineage["passes"] > 1
+    assert lineage["extracted"] >= (ts[1:] < np.maximum.accumulate(ts)[:-1]).sum()
+
+
+def test_bounded_ooo_sort_sorted_noop():
+    ts = np.arange(100, dtype=np.int64) * 3
+    vs = np.arange(100, dtype=np.int64)
+    lineage = _run_bounded(ts, vs, l=8)
+    assert lineage["path"] == "noop" and lineage["passes"] == 0
