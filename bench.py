@@ -594,6 +594,11 @@ def main() -> None:
         from sorting_compressed_time_series_spark.queries import SPARK_QUERIES
 
         spark = _fresh_spark(cpus)
+        # fork python workers / init Arrow once: the first query otherwise
+        # absorbs ~2-6 s of session cold-start (observed: roundtrip_bytealigned
+        # 3.37 s in the r3 sweep vs 0.8 s for the identical-shape
+        # roundtrip_bitpacked that runs second)
+        _warmup(spark)
         for name, fn in SPARK_QUERIES.items():
             t0 = time.perf_counter()
             try:
