@@ -599,6 +599,17 @@ def main() -> None:
         # 3.37 s in the r3 sweep vs 0.8 s for the identical-shape
         # roundtrip_bitpacked that runs second)
         _warmup(spark)
+        # ... and compile the warehouse write/staging/bucketed-table plans
+        # once at sf0.001: the pipeline query is the only writer in the
+        # sweep, and its first run pays ~2.6 s of codegen + catalog setup
+        # that no other query shares (measured: 4.36 s cold vs 1.73 s warm
+        # in the same quiet window)
+        try:
+            SPARK_QUERIES["tokens_pipeline_tiers"](
+                spark, "/root/testdata/sf0.001"
+            ).count()
+        except Exception:  # noqa: BLE001
+            pass
         for name, fn in SPARK_QUERIES.items():
             t0 = time.perf_counter()
             try:
