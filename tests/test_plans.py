@@ -202,3 +202,23 @@ def test_fused_rollup_tiers_unique_is_shuffle_free(spark, tmp_path):
         rollup_tiers(chunks, [1_000_000, 60_000_000], unique_doc_chunks=True)
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cosine_dup_pairs_single_shuffle_no_cartesian(spark):
+    """The exact embedding-dedup verifier must be the block-pair shape:
+    exactly one hash-partitioning exchange (the (gi, gj) group shuffle of
+    the replicated corpus) and NO cartesian / broadcast-nested-loop join
+    anywhere — the O(n²) work lives inside the grouped kernel's matmuls,
+    never in the join graph."""
+    from sorting_compressed_time_series_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(cosine_dup_pairs(emb, tau=0.5, n_blocks=4), mode="extended")
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    shuffles = [l for l in phys.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(shuffles) == 1, "\n".join(shuffles)
+    assert "gi" in shuffles[0] and "gj" in shuffles[0]
