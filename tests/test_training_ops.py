@@ -217,3 +217,30 @@ def test_cosine_dup_pairs_lsh_recall_on_near_dups(spark, emb_with_dups):
     recall = len(exact & got_pairs) / len(exact)
     assert recall >= 0.9, f"LSH dup recall {recall}"
     assert got_pairs <= _np_cosine_pairs(emb_with_dups, 0.9 - 1e-9)
+
+
+def test_cosine_dup_pairs_lsh_bucket_cap_drops_degenerate_hubs(spark):
+    """A degenerate hub (many identical vectors, all landing in one bucket
+    in every table) above bucket_cap is dropped from candidate generation
+    instead of re-quadratifying the join; normal-sized near-dup clusters
+    below the cap still verify."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    hub = (
+        base.filter(F.col("vec_id") == 0)
+        .select(F.explode(F.sequence(F.lit(1), F.lit(60))).alias("k"), "embedding")
+        .select((F.col("k") + 500000).alias("vec_id"),
+                "embedding", F.lit(0).alias("label"))
+    )
+    emb = base.unionByName(hub)
+    # cap far below the hub size: hub pairs must vanish, cheaply
+    capped = SIM.cosine_dup_pairs_lsh(
+        emb, tau=0.999, n_tables=4, n_bits=4, bucket_cap=50
+    ).toPandas()
+    hub_pairs = capped[(capped.a >= 500000) & (capped.b >= 500000)]
+    assert len(hub_pairs) == 0
+    # with a permissive cap the same hub produces its full clique
+    uncapped = SIM.cosine_dup_pairs_lsh(
+        emb, tau=0.999, n_tables=4, n_bits=4, bucket_cap=10**6
+    ).toPandas()
+    hub_uncapped = uncapped[(uncapped.a >= 500000) & (uncapped.b >= 500000)]
+    assert len(hub_uncapped) == 60 * 59 // 2
