@@ -275,7 +275,11 @@ def ivf_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
     scored = cand.withColumn(
-        "score", dot / (norm(F.col("q_emb")) * norm(F.col("embedding")))
+        "score",
+        dot
+        / F.greatest(
+            norm(F.col("q_emb")) * norm(F.col("embedding")), F.lit(1e-12)
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
     return (
@@ -320,7 +324,13 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
-    scored = cand.withColumn("score", dot / (norm(F.col("q_emb")) * norm(F.col("embedding"))))
+    scored = cand.withColumn(
+        "score",
+        dot
+        / F.greatest(
+            norm(F.col("q_emb")) * norm(F.col("embedding")), F.lit(1e-12)
+        ),
+    )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -343,7 +353,9 @@ def cosine_dup_pairs(emb: DataFrame, tau: float = 0.8,
     block pairs (i ≤ j) becomes one grouped-map task that does a single
     float64 (|Bi| × |Bj|) matmul and emits only the qualifying id pairs.
     Each unordered vector pair lands in exactly ONE group, so no distinct
-    pass is needed.  Shuffle volume is corpus × (n_blocks+1) rows — the
+    pass is needed.  Shuffle volume is corpus × n_blocks rows (a vector in
+    block b appears (n_blocks − b) times on the left and b times on the
+    right of the triangle — exactly n_blocks copies) — the
     standard exact all-pairs trade (replication √tasks) — and compute is
     the inherent O(n²/2) dot products, spread evenly because blocks are
     hash-balanced.  At 1000 executors, raise n_blocks ≈ √(2 × cores) so
@@ -487,8 +499,16 @@ def cosine_dup_pairs_lsh(emb: DataFrame, tau: float = 0.8,
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
+    # clamp the denominator: a zero-norm embedding would otherwise score
+    # 0/0 = NaN, and Spark SQL orders NaN above every number so it would
+    # PASS `score >= tau`; all-zero vectors collide in every sign-LSH table,
+    # so an unclamped zero cluster below bucket_cap emits spurious pairs.
+    # The exact path (cosine_dup_pairs) clamps with the same 1e-12.
     return (
-        joined.withColumn("score", dot / (norm(F.col("e_a")) * norm(F.col("e_b"))))
+        joined.withColumn(
+            "score",
+            dot / F.greatest(norm(F.col("e_a")) * norm(F.col("e_b")), F.lit(1e-12)),
+        )
         .filter(F.col("score") >= tau)
         .select("a", "b")
     )

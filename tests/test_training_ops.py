@@ -244,3 +244,24 @@ def test_cosine_dup_pairs_lsh_bucket_cap_drops_degenerate_hubs(spark):
     ).toPandas()
     hub_uncapped = uncapped[(uncapped.a >= 500000) & (uncapped.b >= 500000)]
     assert len(hub_uncapped) == 60 * 59 // 2
+
+
+def test_cosine_dup_pairs_lsh_zero_norm_vectors_never_pair(spark):
+    """Zero-norm embeddings score 0 (clamped denominator), never NaN:
+    Spark SQL orders NaN above every number, so an unclamped 0/0 would
+    PASS `score >= tau`; all-zero vectors collide in every sign-LSH
+    table, so a small zero cluster would emit spurious near-dup pairs.
+    Mirrors the 1e-12 clamp in the exact cosine_dup_pairs kernel."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(base.select("embedding").first()[0])
+    zeros = spark.range(700000, 700010).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(0.0).cast("float")] * dim).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    emb = base.unionByName(zeros)
+    got = SIM.cosine_dup_pairs_lsh(
+        emb, tau=0.9, n_tables=4, n_bits=4, bucket_cap=2000
+    ).toPandas()
+    zero_pairs = got[(got.a >= 700000) | (got.b >= 700000)]
+    assert len(zero_pairs) == 0
