@@ -446,6 +446,45 @@ def cosine_dup_pairs_lsh(emb: DataFrame, tau: float = 0.8,
     candidate ids; no driver collect, no corpus broadcast, no full
     cross-join anywhere."""
     ids_only = emb.select("vec_id", "embedding")
+    cand = lsh_candidate_pairs(ids_only, n_tables, n_bits, seed, bucket_cap)
+    ea = ids_only.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
+    eb = ids_only.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
+    joined = cand.join(ea, "a").join(eb, "b").select("a", "b", "e_a", "e_b")
+
+    # vectorized verify: one numpy row-wise dot per Arrow batch. A JVM
+    # zip_with/aggregate per candidate was measured 5× slower than the
+    # exact block-pair path at 10M candidates (per-element expression
+    # evaluation vs BLAS); einsum restores the vectorized cost model the
+    # candidate-first path exists for. The 1e-12 clamp keeps zero-norm
+    # embeddings at score 0 — NaN would pass `>= tau` under Spark's
+    # NaN-greatest ordering, and all-zero vectors collide in every
+    # sign-LSH table (same clamp as the exact path).
+    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ma = _emb_matrix(b.column("e_a"))
+            mb = _emb_matrix(b.column("e_b"))
+            dots = np.einsum("ij,ij->i", ma, mb)
+            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            score = dots / np.maximum(den, 1e-12)
+            keep = score >= tau
+            yield pa.RecordBatch.from_arrays(
+                [b.column("a").filter(pa.array(keep)),
+                 b.column("b").filter(pa.array(keep))],
+                names=["a", "b"],
+            )
+
+    return joined.mapInArrow(verify, schema="a bigint, b bigint")
+
+
+def lsh_candidate_pairs(ids_only: DataFrame, n_tables: int = 8,
+                        n_bits: int = 8, seed: int = 101,
+                        bucket_cap: int = 2000) -> DataFrame:
+    """Candidate (a < b) pairs from multi-table sign-LSH bucketing — the
+    linear-candidate-generation stage of ``cosine_dup_pairs_lsh``, exposed
+    separately so rehearsals can measure candidate volume vs n(n-1)/2
+    before the exact verify (tools/lsh_crossover.py)."""
 
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pl = None
@@ -482,33 +521,10 @@ def cosine_dup_pairs_lsh(emb: DataFrame, tau: float = 0.8,
         F.broadcast(sizes.filter(F.col("n") > bucket_cap)),
         ["tbl", "bucket"], "left_anti",
     )
-    cand = (
+    return (
         tb.alias("x")
         .join(tb.alias("y"), ["tbl", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
-    )
-    ea = ids_only.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
-    eb = ids_only.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
-    joined = cand.join(ea, "a").join(eb, "b")
-    dot = F.aggregate(
-        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
-    )
-    # clamp the denominator: a zero-norm embedding would otherwise score
-    # 0/0 = NaN, and Spark SQL orders NaN above every number so it would
-    # PASS `score >= tau`; all-zero vectors collide in every sign-LSH table,
-    # so an unclamped zero cluster below bucket_cap emits spurious pairs.
-    # The exact path (cosine_dup_pairs) clamps with the same 1e-12.
-    return (
-        joined.withColumn(
-            "score",
-            dot / F.greatest(norm(F.col("e_a")) * norm(F.col("e_b")), F.lit(1e-12)),
-        )
-        .filter(F.col("score") >= tau)
-        .select("a", "b")
     )
