@@ -605,20 +605,29 @@ def main() -> None:
         # exceeded 0.63 efficiency at 8->32 in any window); the 2->8 pair
         # fits inside the cap, so it isolates ENGINE scaling from
         # hypervisor throttling. Report the best observed run per pair.
+        # Prefer CLEAN pairs (both configs gauge-quiet and wall-banded in
+        # their window): a storm that hits only the lo config inflates the
+        # ratio, so an unclean max would overstate efficiency (observed: a
+        # lo-storm-biased 2->8 window graded 1.198 vs the clean pair's
+        # 0.925). Fall back to the unclean max only when no clean pair
+        # exists for a core pair, and say so via the clean_pair flag.
         pairs: dict = {}
         for h in hist:
             if h["sdocs"] != sdocs:
                 continue
             key = f"{h.get('cores_lo', 8)}->{h.get('cores_hi', 32)}"
-            cur = pairs.get(key)
-            if cur is None or h["efficiency"] > cur["best_efficiency"]:
-                pairs[key] = {
-                    "best_efficiency": h["efficiency"],
-                    "efficiency_vs_machine_ceiling":
-                        h.get("efficiency_vs_machine_ceiling"),
-                    "tokens_per_sec_lo": h["tokens_per_sec_lo"],
-                    "tokens_per_sec_hi": h["tokens_per_sec_hi"],
-                }
+            cur = pairs.setdefault(key, {})
+            if h["efficiency"] > cur.get("best_efficiency_any", -1.0):
+                cur["best_efficiency_any"] = h["efficiency"]
+                cur["any_vs_machine_ceiling"] = h.get(
+                    "efficiency_vs_machine_ceiling")
+                cur["tokens_per_sec_lo"] = h["tokens_per_sec_lo"]
+                cur["tokens_per_sec_hi"] = h["tokens_per_sec_hi"]
+            if h.get("clean_pair") and h["efficiency"] > cur.get(
+                    "best_efficiency_clean", -1.0):
+                cur["best_efficiency_clean"] = h["efficiency"]
+                cur["clean_vs_machine_ceiling"] = h.get(
+                    "efficiency_vs_machine_ceiling")
         result["scaling_pairs_observed"] = pairs
 
     # per-query timings (after scaling; ~fixed cost, not deadline-gated)
