@@ -315,3 +315,86 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, group_id) with
+    group_id = the smallest doc_id in the component — the step that turns
+    pairwise dedup output into dedup GROUPS (one keep per cluster).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) expressed
+    as DataFrame self-joins — O(log n) rounds on pathological chains,
+    2-3 rounds on the star/clique shapes dedup actually produces. Each
+    round is two grouped min-joins; the driver loop only checks a
+    convergence COUNT per round (no data collected). At 10^12 docs the
+    edge set is the (already linear) candidate-pair output, orders of
+    magnitude smaller than the corpus, and every round's shuffle is on
+    fixed-width (long, long) rows.
+
+    The iteration state is localCheckpoint'ed each round: the lineage
+    would otherwise double per iteration and the convergence count
+    re-execute the whole chain."""
+    # undirected edge list, self-loops dropped, as (node, neighbor) both ways
+    e = pairs.select(F.col("a").cast("long"), F.col("b").cast("long")).filter(
+        F.col("a") != F.col("b")
+    )
+    edges = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    # parent[v] starts as min(v, min neighbor)
+    parent = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("p"))
+        .select(F.col("a").alias("v"), F.col("p"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # star-contraction round: point every node at the min parent in its
+        # 1-hop neighborhood (its own parent and its neighbors' parents)
+        nb = (
+            edges.join(parent.withColumnRenamed("v", "b"), "b")
+            .select(F.col("a").alias("v"), "p")
+        )
+        contracted = (
+            parent.unionByName(nb)
+            .groupBy("v")
+            .agg(F.min("p").alias("p"))
+            .localCheckpoint(eager=True)  # break the self-join lineage
+        )
+        # path-halving: parent := parent[parent]
+        gp = contracted.select(F.col("v").alias("pv"), F.col("p").alias("gp"))
+        new_parent = (
+            contracted.join(gp, contracted.p == gp.pv, "left")
+            .select("v", F.coalesce("gp", "p").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_parent.alias("n")
+            .join(parent.alias("o"), "v")
+            .filter(F.col("n.p") != F.col("o.p"))
+            .count()
+        )
+        parent = new_parent
+        if changed == 0:
+            break
+    return parent.select(F.col("v").alias("doc_id"), F.col("p").alias("group_id"))
+
+
+def dedup_keep_list(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, keep boolean): keep the smallest doc_id of every near-dup
+    component, and every doc that appears in no pair. The end-to-end
+    output a training pipeline filters by — composes with any pair
+    source (jaccard_pairs, minhash_lsh_candidates + verify, simhash_pairs,
+    cosine_dup_pairs[_lsh])."""
+    groups = dup_groups(pairs)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("group_id").isNull()
+             | (F.col("group_id") == F.col("doc_id"))).alias("keep"),
+        )
+    )

@@ -265,3 +265,67 @@ def test_cosine_dup_pairs_lsh_zero_norm_vectors_never_pair(spark):
     ).toPandas()
     zero_pairs = got[(got.a >= 700000) | (got.b >= 700000)]
     assert len(zero_pairs) == 0
+
+
+def test_cosine_dup_pairs_lsh_no_driver_collect(spark, emb_with_dups, monkeypatch):
+    """The candidate-first path must stay fully distributed too: bucket
+    kernel, candidate join, and the Arrow verify all run with
+    DataFrame.collect forbidden (same guard as the exact block-pair)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side collect in cosine_dup_pairs_lsh")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    n = SIM.cosine_dup_pairs_lsh(
+        emb_with_dups, tau=0.9, n_tables=12, n_bits=6
+    ).count()
+    assert n > 0
+
+
+def _uf_components(pairs):
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in list(parent)}
+
+
+@pytest.mark.parametrize("shape", ["chain", "cliques", "mixed"])
+def test_dup_groups_matches_union_find(spark, shape):
+    """Alternating-star CC == union-find on chains (worst case for round
+    count), cliques (the shape dedup actually produces), and a mix with
+    shared-min collisions."""
+    if shape == "chain":
+        pairs = [(i, i + 1) for i in range(60)]
+    elif shape == "cliques":
+        pairs = [(10 * g + i, 10 * g + j)
+                 for g in range(5) for i in range(4) for j in range(i + 1, 4)]
+    else:
+        pairs = [(0, 50), (50, 3), (7, 9), (9, 7), (100, 2), (2, 0), (33, 33)]
+    want = _uf_components([(a, b) for a, b in pairs if a != b])
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.doc_id: r.group_id for r in DD.dup_groups(df).toLocalIterator()}
+    assert got == want
+
+
+def test_dedup_keep_list_end_to_end(spark, docs):
+    """Compose: jaccard pairs -> groups -> keep list. Exactly one keep per
+    component (the min id), every unpaired doc kept."""
+    pairs = DD.jaccard_pairs(docs, n=3, tau=0.2, max_df=50)
+    keep = DD.dedup_keep_list(docs, pairs).toPandas()
+    assert len(keep) == docs.count()
+    pdf = pairs.toPandas()
+    comp = _uf_components(list(zip(pdf.a.tolist(), pdf.b.tolist())))
+    for _, r in keep.iterrows():
+        if r.doc_id in comp:
+            assert r.keep == (comp[r.doc_id] == r.doc_id)
+        else:
+            assert bool(r.keep)
