@@ -2,18 +2,19 @@
 
 ``entry``   — flagship: tokens → seriesize → flush (compressed-domain
               sort + encode) → tier rollup cascade, on sf0.001-scale input.
-``queries`` — every implemented operator from SURVEY.md §2 (50 entries;
+``queries`` — every implemented operator from SURVEY.md §2 (51 entries;
               `time_joins` and `gapfill_fill_modes` are tagged unions of
               3 variants each, so the operator count is higher).
-``oracle_sql`` — exact DuckDB twins for 47 of the 50 (incl. the anchored
+``oracle_sql`` — exact DuckDB twins for 49 of the 51 (incl. the anchored
               variation window via recursive CTE, MinHash/SimHash on
-              md5-portable hashes, and the tokens pipeline via a
-              splitmix64-in-SQL corpus regeneration). The 3 others are
-              rows-only for structural reasons — ann_lsh_topk /
+              md5-portable hashes, the tokens pipeline via a
+              splitmix64-in-SQL corpus regeneration, and the compression-
+              metrics rollup whose oracle recomputes encoded plane sizes
+              in closed form from the codec's class widths). The 2 others
+              are rows-only for structural reasons — ann_lsh_topk /
               ann_ivf_topk (float hyperplane / k-means candidates no SQL
-              engine reproduces bit-for-bit) and
-              tokens_compression_metrics (output carries measured encode
-              wall times) — and exact-oracle-tested in tests/.
+              engine reproduces bit-for-bit) — and exact-oracle-tested
+              in tests/.
 """
 
 from __future__ import annotations

@@ -1125,10 +1125,13 @@ def dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_documents(spark, sf_dir))
 
 
-@q(
-    "dedup_jaccard_3gram",
-    f"""
-    WITH w AS (
+def _jaccard_pair_ctes() -> str:
+    """CTE chain ending in ``jpairs(a, b, jaccard)`` — exact word-3-gram
+    Jaccard near-dup pairs at tau=0.2 with the max_df=50 hot-shingle cap,
+    the SQL twin of ``DD.jaccard_pairs``. Shared by the pair oracle and
+    the dup-group resolution oracle."""
+    return f"""
+    w AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
     ),
     sh AS (
@@ -1140,13 +1143,22 @@ def dedup_exact(spark, sf_dir):
     ex AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS s FROM sh),
     hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 50),
     exf AS (SELECT * FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-    pairs AS (
+    jp AS (
       SELECT x.doc_id AS a, y.doc_id AS b, x.sz AS sza, y.sz AS szb, count(*) AS inter
       FROM exf x JOIN exf y ON x.s = y.s AND x.doc_id < y.doc_id
       GROUP BY 1, 2, 3, 4
-    )
-    SELECT a, b, round(inter * 1.0 / (sza + szb - inter), 6) AS jaccard
-    FROM pairs WHERE inter * 1.0 / (sza + szb - inter) >= 0.2
+    ),
+    jpairs AS (
+      SELECT a, b, inter * 1.0 / (sza + szb - inter) AS jaccard
+      FROM jp WHERE inter * 1.0 / (sza + szb - inter) >= 0.2
+    )"""
+
+
+@q(
+    "dedup_jaccard_3gram",
+    f"""
+    WITH {_jaccard_pair_ctes()}
+    SELECT a, b, round(jaccard, 6) AS jaccard FROM jpairs
     """,
 )
 def dedup_jaccard_3gram(spark, sf_dir):
@@ -1157,6 +1169,50 @@ def dedup_jaccard_3gram(spark, sf_dir):
     counting skips hot shingles, mirrored exactly in the oracle."""
     out = DD.jaccard_pairs(_documents(spark, sf_dir), n=3, tau=0.2, max_df=50)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q(
+    "dedup_groups_keep",
+    f"""
+    WITH RECURSIVE {_jaccard_pair_ctes()},
+    edges AS (
+      SELECT a, b FROM jpairs UNION SELECT b, a FROM jpairs
+    ),
+    reach(v, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.v, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    grp AS (SELECT v AS doc_id, least(v, min(r)) AS group_id FROM reach GROUP BY v)
+    SELECT d.doc_id,
+           coalesce(g.group_id, d.doc_id) AS group_id,
+           (g.group_id IS NULL OR g.group_id = d.doc_id) AS keep
+    FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id
+    """,
+)
+def dedup_groups_keep(spark, sf_dir):
+    """Dup-GROUP resolution end-to-end: exact Jaccard near-dup pairs →
+    connected components (alternating star-contraction, O(log n) rounds of
+    fixed-width self-joins — operators/dedup.py:dup_groups) → one keep per
+    component. Output: every document with its component id (= smallest
+    doc_id reachable through near-dup edges; singletons are their own
+    group) and the keep flag a training pipeline filters by. The DuckDB
+    oracle recomputes the components independently via a recursive-CTE
+    transitive closure, so the distributed contraction must converge to
+    the exact same partition of the corpus."""
+    docs = _documents(spark, sf_dir)
+    pairs = DD.jaccard_pairs(docs, n=3, tau=0.2, max_df=50)
+    groups = DD.dup_groups(pairs)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", "doc_id").alias("group_id"),
+            (F.col("group_id").isNull()
+             | (F.col("group_id") == F.col("doc_id"))).alias("keep"),
+        )
+    )
 
 
 @q("dedup_minhash_lsh", _minhash_lsh_oracle())
@@ -1402,9 +1458,9 @@ def multimodal_binary_stats(spark, sf_dir):
 # implements splitmix64 via HUGEINT mod-2^64 arithmetic (64×64-bit multiply
 # split into 32-bit limbs so no intermediate exceeds 2^127) and re-derives
 # every token and synthetic timestamp from first principles. The pipeline
-# queries therefore get exact value oracles; what stays rows-only is only
-# tokens_compression_metrics (its output carries measured encode wall
-# times, which no oracle can reproduce). Byte-level encode/decode equality
+# queries therefore get exact value oracles — including the compression-
+# metrics rollup, whose oracle recomputes the encoded plane sizes in closed
+# form from the codec's class widths. Byte-level encode/decode equality
 # additionally lives in tests/test_pipeline_e2e.py.
 
 from .operators.ingest import flush as _flush  # noqa: E402
@@ -1628,14 +1684,80 @@ def tokens_roundtrip_check(spark, sf_dir):
     )
 
 
-@q("tokens_compression_metrics")  # rows-only: output includes encode_ns,
-# a measured wall time no oracle can reproduce; the deterministic columns
-# (bytes, counts, inversions) are byte-exact-tested in tests/test_pipeline_e2e.py
+def _tokens_metrics_oracle() -> str:
+    """Exact oracle for the per-source compression-metrics rollup: DuckDB
+    regenerates the point stream, replays the flush kernel's STABLE
+    ts-then-arrival sort, and computes the ENCODED BYTE LENGTHS in closed
+    form — both planes are byte-aligned class codecs (codecs/batched.py
+    encode_rows): blob = 8-byte header + ceil(n/4) packed 2-bit length
+    plane + per-value payload whose width is 1/2/4/8 by the zigzag
+    magnitude, with the time plane's first element always 8 raw bytes.
+    Inversions are the flush kernel's lineage stat: ADJACENT
+    ts-regressions in arrival (pos) order, counted per doc."""
+    return f"""
+    WITH {_tokens_points_cte()},
+    ordered AS (
+      SELECT doc_id, source, token, ts,
+             row_number() OVER (PARTITION BY doc_id ORDER BY ts, pos) AS rk,
+             lag(ts) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_arrival_ts
+      FROM pts
+    ),
+    delt AS (
+      SELECT doc_id, source, rk, token,
+             ts - lag(ts) OVER (PARTITION BY doc_id ORDER BY rk) AS dts,
+             CASE WHEN ts < prev_arrival_ts THEN 1 ELSE 0 END AS is_inv
+      FROM ordered
+    ),
+    zz AS (
+      SELECT doc_id, source, rk, is_inv,
+             CASE WHEN dts >= 0 THEN 2 * dts ELSE -2 * dts - 1 END AS zzt,
+             CASE WHEN token >= 0 THEN 2 * CAST(token AS BIGINT)
+                  ELSE -2 * CAST(token AS BIGINT) - 1 END AS zzv
+      FROM delt
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             count(*) AS n,
+             CAST(sum(is_inv) AS BIGINT) AS n_inv,
+             8 + (count(*) + 3) // 4 + CAST(sum(
+               CASE WHEN rk = 1 THEN 8
+                    WHEN zzt < 256 THEN 1
+                    WHEN zzt < 65536 THEN 2
+                    WHEN zzt < 4294967296 THEN 4
+                    ELSE 8 END) AS BIGINT) AS bytes_time,
+             8 + (count(*) + 3) // 4 + CAST(sum(
+               CASE WHEN zzv < 256 THEN 1
+                    WHEN zzv < 65536 THEN 2
+                    WHEN zzv < 4294967296 THEN 4
+                    ELSE 8 END) AS BIGINT) AS bytes_value
+      FROM zz
+      GROUP BY doc_id, source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_points,
+           CAST(sum(16 * n) AS BIGINT) AS bytes_raw,
+           CAST(sum(bytes_time + bytes_value) AS BIGINT) AS bytes_compressed,
+           CAST(sum(n_inv) AS BIGINT) AS inversions,
+           round(CAST(sum(bytes_time + bytes_value) AS DOUBLE)
+                 / CAST(sum(16 * n) AS DOUBLE), 4) AS ratio
+    FROM per_doc
+    GROUP BY source
+    """
+
+
+@q("tokens_compression_metrics", _tokens_metrics_oracle())
 def tokens_compression_metrics(spark, sf_dir):
     """Per-source lineage + metrics rollup from the chunk table: compression
-    ratio, inversion counts, encode cost — the per-partition metrics the
-    north rule requires, aggregated with a salted two-phase groupBy (the
-    ``source`` column is 70% 'web': salt first, merge after)."""
+    ratio, inversion counts, point/byte totals — the per-partition metrics
+    the north rule requires, aggregated with a salted two-phase groupBy (the
+    ``source`` column is 70% 'web': salt first, merge after). Output is
+    fully deterministic and hard-oracled: the DuckDB oracle recomputes the
+    encoded plane sizes in closed form from the codec's class widths, so a
+    single byte of encoder drift fails the gate. The measured encode wall
+    time stays available on the chunk table (``encode_ns``) and in bench's
+    flush decomposition; it is excluded here so the gate compares values,
+    not clocks."""
     toks = _gen_tokens(spark, _tokens_docs(sf_dir))
     chunks = _flush(toks)
     # two-phase salted aggregation: partial by (source, salt), final by source
@@ -1646,7 +1768,6 @@ def tokens_compression_metrics(spark, sf_dir):
         F.sum("bytes_raw").alias("bytes_raw"),
         F.sum(F.col("bytes_time") + F.col("bytes_value")).alias("bytes_compressed"),
         F.sum("n_inversions").alias("inversions"),
-        F.sum("encode_ns").alias("encode_ns"),
     )
     final = partial.groupBy("source").agg(
         F.sum("n_docs").alias("n_docs"),
@@ -1654,7 +1775,6 @@ def tokens_compression_metrics(spark, sf_dir):
         F.sum("bytes_raw").alias("bytes_raw"),
         F.sum("bytes_compressed").alias("bytes_compressed"),
         F.sum("inversions").alias("inversions"),
-        F.sum("encode_ns").alias("encode_ns"),
     )
     return final.withColumn(
         "ratio", F.round(F.col("bytes_compressed") / F.col("bytes_raw"), 4)
