@@ -5,16 +5,16 @@
 ``queries`` — every implemented operator from SURVEY.md §2 (51 entries;
               `time_joins` and `gapfill_fill_modes` are tagged unions of
               3 variants each, so the operator count is higher).
-``oracle_sql`` — exact DuckDB twins for 49 of the 51 (incl. the anchored
-              variation window via recursive CTE, MinHash/SimHash on
-              md5-portable hashes, the tokens pipeline via a
-              splitmix64-in-SQL corpus regeneration, and the compression-
+``oracle_sql`` — exact DuckDB twins for ALL 51 entries (incl. the
+              anchored variation window via recursive CTE, MinHash/SimHash
+              on md5-portable hashes, the tokens pipeline via a
+              splitmix64-in-SQL corpus regeneration, the compression-
               metrics rollup whose oracle recomputes encoded plane sizes
-              in closed form from the codec's class widths). The 2 others
-              are rows-only for structural reasons — ann_lsh_topk /
-              ann_ivf_topk (float hyperplane / k-means candidates no SQL
-              engine reproduces bit-for-bit) — and exact-oracle-tested
-              in tests/.
+              in closed form from the codec's class widths, and both
+              approximate-ANN paths — the LSH hyperplanes are splitmix64
+              Box–Muller draws regenerated in SQL, and the IVF quantizer
+              is a portable-md5-sampled seed set + one Lloyd step the
+              oracle replays).
 """
 
 from __future__ import annotations

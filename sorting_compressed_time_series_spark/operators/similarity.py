@@ -128,16 +128,25 @@ def lsh_buckets(emb: DataFrame, n_bits: int = 8, seed: int = 7) -> DataFrame:
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, lloyd_iters: int = 1,
                   seed: int = 11) -> np.ndarray:
     """Deterministic IVF coarse quantizer: seed centroids are the
-    ``n_centroids`` corpus vectors with the smallest splitmix64(vec_id)
-    (a uniform, reproducible sample — no RNG state), then ``lloyd_iters``
-    distributed k-means steps: assignment is a broadcast argmax inside
-    mapInArrow, the update collects only (n_centroids × dim) partial sums
-    per batch — the shuffle is centroid-sized, never corpus-sized."""
+    ``n_centroids`` corpus vectors with the smallest ENGINE-PORTABLE hash
+    of vec_id (first 32 md5 bits of the decimal string — a uniform,
+    reproducible sample with no RNG state that DuckDB recomputes verbatim,
+    so the gate oracle re-derives the exact same seeds; vec_id tie-break
+    covers 32-bit birthday collisions), then ``lloyd_iters`` distributed
+    k-means steps: assignment is a broadcast argmax inside mapInArrow, the
+    update collects only (n_centroids × dim) partial sums per batch — the
+    shuffle is centroid-sized, never corpus-sized."""
     sample = (
         emb.withColumn(
-            "h", F.xxhash64(F.col("vec_id") + F.lit(seed * 1_000_003))
+            "h",
+            F.conv(
+                F.substring(
+                    F.md5((F.col("vec_id") + F.lit(seed * 1_000_003)).cast("string")),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long"),
         )
-        .orderBy("h")
+        .orderBy("h", "vec_id")
         .limit(n_centroids)
         .select("embedding")
         .collect()

@@ -1340,18 +1340,26 @@ def dedup_embedding_cosine(spark, sf_dir):
     return cosine_dup_pairs(_embeddings(spark, sf_dir), tau=0.35)
 
 
-@q("ann_lsh_topk")  # rows-only: bucket membership isn't SQL-portable
+@q("ann_lsh_topk")  # hard oracle attached at end of module (needs splitmix SQL)
 def ann_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH bucketing + exact rerank within bucket — the
-    approximate scale path; recall oracle in tests/test_training_ops.py."""
+    """Random-hyperplane LSH bucketing + exact rerank within the probed
+    buckets — the approximate scale path. Hard-oracled: the hyperplanes are
+    splitmix64-counter Box–Muller draws (a pure function of (dim, n_bits,
+    seed)), so the DuckDB oracle regenerates them bit-for-bit-close in SQL,
+    rebuilds every bucket, and replays the hamming≤2 multi-probe + exact
+    cosine rerank; recall-vs-brute-force pytest in
+    tests/test_training_ops.py."""
     return SIM.lsh_topk(_embeddings(spark, sf_dir), n_queries=10, k=5, n_bits=6, probe_radius=2)
 
 
-@q("ann_ivf_topk")  # rows-only: centroid assignment isn't SQL-portable
+@q("ann_ivf_topk")  # hard oracle attached at end of module
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic coarse quantizer (hash-sampled seeds + one
-    distributed Lloyd step) → inverted lists → nprobe cluster equi-join →
-    exact cosine rerank. Recall oracle in tests/test_training_ops.py."""
+    """IVF ANN: deterministic coarse quantizer (portable-md5-sampled seeds
+    + one distributed Lloyd step) → inverted lists → nprobe cluster
+    equi-join → exact cosine rerank. Hard-oracled: the quantizer is a pure
+    function of the corpus, so the DuckDB oracle re-derives seeds,
+    replays the Lloyd step, rebuilds the inverted lists, and reranks;
+    recall + determinism pytest in tests/test_training_ops.py."""
     return SIM.ivf_topk(_embeddings(spark, sf_dir), n_queries=10, k=5,
                         n_centroids=16, nprobe=4)
 
@@ -1495,24 +1503,28 @@ def _sm_mulmod(y: str, c: int) -> str:
             f"(({y}) // 4294967296) * {cl}) % 4294967296) * 4294967296) % {_SM_M64}")
 
 
+def _sm_stages(src: str, pfx: str, final: str) -> list[tuple[str, str]]:
+    """[(col, expr)] chain computing ``final = splitmix64(src)`` — exact
+    twin of functions/hashing.py:splitmix64 — as a HUGEINT in [0, 2^64)."""
+    return [
+        (f"{pfx}z0", f"(({src}) + {_SM_K0}) % {_SM_M64}"),
+        (f"{pfx}a1", f"xor({pfx}z0, {pfx}z0 >> 30)"),
+        (f"{pfx}z1", _sm_mulmod(f"{pfx}a1", _SM_K1)),
+        (f"{pfx}a2", f"xor({pfx}z1, {pfx}z1 >> 27)"),
+        (f"{pfx}z2", _sm_mulmod(f"{pfx}a2", _SM_K2)),
+        (final, f"xor({pfx}z2, {pfx}z2 >> 31)"),
+    ]
+
+
 def _hash2_stages(a_expr: str, b_expr: str, seed: int, out: str) -> list[tuple[str, str]]:
     """[(col, expr)] chain computing ``out = hash2(a_expr, b_expr, seed)``
     (functions/hashing.py:hash2) as a HUGEINT in [0, 2^64)."""
     seedk = (seed * _SM_K0) % _SM_M64
     st: list[tuple[str, str]] = []
-
-    def sm(src: str, pfx: str, final: str) -> None:
-        st.append((f"{pfx}z0", f"(({src}) + {_SM_K0}) % {_SM_M64}"))
-        st.append((f"{pfx}a1", f"xor({pfx}z0, {pfx}z0 >> 30)"))
-        st.append((f"{pfx}z1", _sm_mulmod(f"{pfx}a1", _SM_K1)))
-        st.append((f"{pfx}a2", f"xor({pfx}z1, {pfx}z1 >> 27)"))
-        st.append((f"{pfx}z2", _sm_mulmod(f"{pfx}a2", _SM_K2)))
-        st.append((final, f"xor({pfx}z2, {pfx}z2 >> 31)"))
-
     st.append((f"{out}_x0", f"xor(CAST({a_expr} AS HUGEINT), {seedk}::HUGEINT)"))
-    sm(f"{out}_x0", f"{out}_p_", f"{out}_s")
+    st.extend(_sm_stages(f"{out}_x0", f"{out}_p_", f"{out}_s"))
     st.append((f"{out}_x1", f"xor({out}_s, CAST({b_expr} AS HUGEINT))"))
-    sm(f"{out}_x1", f"{out}_q_", out)
+    st.extend(_sm_stages(f"{out}_x1", f"{out}_q_", out))
     return st
 
 
@@ -2052,3 +2064,147 @@ def compaction_merge(spark, sf_dir):
             )
 
     return _collected_series(ev).mapInArrow(kern, schema=schema)
+
+
+# --- ANN hard oracles (attached post-hoc: they need the splitmix helpers) ---
+#
+# Both approximate-ANN paths are DETERMINISTIC pure functions of the corpus:
+# `lsh_topk`'s hyperplanes are splitmix64-counter Box–Muller draws
+# (operators/similarity.py:hyperplanes) and `ivf_topk`'s coarse quantizer is
+# a portable-md5-sampled seed set + exactly one Lloyd step — so DuckDB can
+# re-derive buckets / centroids / candidate sets from first principles and
+# the gate compares the exact rank output (integer-only, like
+# ann_cosine_topk: float scores never cross the gate hash). Sign/argmax
+# decisions are robust to cross-engine float noise (~1e-15 relative on O(1)
+# dot products); a flip would need a dot within ~1e-13 of a decision
+# boundary, measure-zero on this corpus.
+
+_LSH_SEED_OFF = 7 * 10_000_019  # hyperplanes(seed=7) counter offset
+_lsh_frag, _lsh_final = _chain_ctes(
+    "lc0", [[("px", f"(c + {_LSH_SEED_OFF})")] + _sm_stages("px", "lp_", "h")], "lpc"
+)
+
+ORACLES["ann_lsh_topk"] = f"""
+    WITH dv AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+    lc0 AS (
+      SELECT CAST(unnest(generate_series(0, 2 * 6 * (SELECT dim FROM dv) - 1))
+             AS HUGEINT) AS c
+    ),
+    {_lsh_frag},
+    lu AS (
+      SELECT CAST(c AS BIGINT) AS ci,
+             CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u
+      FROM {_lsh_final}
+    ),
+    lg AS (
+      SELECT u0.ci AS bj,
+             sqrt(-2 * ln(u0.u + 1e-12)) * cos(2 * pi() * u1.u) AS g
+      FROM lu u0 JOIN lu u1 ON u1.ci = u0.ci + 6 * (SELECT dim FROM dv)
+      WHERE u0.ci < 6 * (SELECT dim FROM dv)
+    ),
+    pl AS (
+      SELECT bj // (SELECT dim FROM dv) AS b,
+             list(g ORDER BY bj % (SELECT dim FROM dv)) AS plane
+      FROM lg GROUP BY 1
+    ),
+    ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+    bkt AS (
+      SELECT ed.vec_id,
+             CAST(SUM(CASE WHEN list_inner_product(ed.e, pl.plane) > 0
+                           THEN CAST(1 AS BIGINT) << pl.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM ed CROSS JOIN pl GROUP BY ed.vec_id
+    ),
+    qb AS (
+      SELECT b.vec_id AS query_id, b.bucket AS qbucket, ed.e AS qe
+      FROM bkt b JOIN ed ON ed.vec_id = b.vec_id WHERE b.vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_inner_product(q.qe, ed.e) /
+               greatest(sqrt(list_inner_product(q.qe, q.qe)) *
+                        sqrt(list_inner_product(ed.e, ed.e)), 1e-12) AS score
+      FROM qb q
+      JOIN bkt v ON bit_count(xor(q.qbucket, v.bucket)) <= 2
+                AND v.vec_id <> q.query_id
+      JOIN ed ON ed.vec_id = v.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """
+
+ORACLES["ann_ivf_topk"] = """
+    WITH dv AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+    ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+    en AS (  -- unit vectors, norm clamped at 1e-12 exactly like the engine
+      SELECT vec_id, e,
+             list_transform(e, x -> x /
+               greatest(sqrt(list_inner_product(e, e)), 1e-12)) AS mn
+      FROM ed
+    ),
+    seeds AS (  -- 16 smallest portable-md5 hashes of vec_id + 11*1000003
+      SELECT vec_id, mn AS cent
+      FROM en
+      ORDER BY CAST('0x' || substr(md5(CAST(vec_id + 11000033 AS VARCHAR)), 1, 8)
+                    AS BIGINT), vec_id
+      LIMIT 16
+    ),
+    cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, cent FROM seeds),
+    assign0 AS (  -- one Lloyd step: nearest seed centroid by dot product
+      SELECT vec_id, mn, c FROM (
+        SELECT en.vec_id, en.mn, c0.c,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY list_inner_product(en.mn, c0.cent) DESC, c0.c) AS rn
+        FROM en CROSS JOIN cents0 c0
+      ) t WHERE rn = 1
+    ),
+    js AS (SELECT CAST(unnest(generate_series(1, (SELECT dim FROM dv))) AS INT) AS j),
+    cm AS (  -- component-wise mean of each cluster's unit vectors
+      SELECT c, list(m ORDER BY j) AS v FROM (
+        SELECT a.c, js.j, avg(a.mn[js.j]) AS m
+        FROM assign0 a CROSS JOIN js GROUP BY a.c, js.j
+      ) t GROUP BY c
+    ),
+    cnew AS (  -- re-normalized means; empty/degenerate clusters keep the seed
+      SELECT c0.c,
+             CASE WHEN cm.c IS NOT NULL
+                       AND sqrt(list_inner_product(cm.v, cm.v)) > 1e-12
+                  THEN list_transform(cm.v, x -> x /
+                         sqrt(list_inner_product(cm.v, cm.v)))
+                  ELSE c0.cent END AS cent
+      FROM cents0 c0 LEFT JOIN cm ON cm.c = c0.c
+    ),
+    fassign AS (  -- inverted lists over the updated centroids
+      SELECT vec_id, c FROM (
+        SELECT en.vec_id, cn.c,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY list_inner_product(en.mn, cn.cent) DESC, cn.c) AS rn
+        FROM en CROSS JOIN cnew cn
+      ) t WHERE rn = 1
+    ),
+    probes AS (  -- each query's 4 closest centroids
+      SELECT query_id, c FROM (
+        SELECT en.vec_id AS query_id, cn.c,
+               row_number() OVER (PARTITION BY en.vec_id
+                 ORDER BY list_inner_product(en.mn, cn.cent) DESC, cn.c) AS rn
+        FROM en CROSS JOIN cnew cn WHERE en.vec_id < 10
+      ) t WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, fa.vec_id AS neighbor_id,
+             list_inner_product(eq.e, ev.e) /
+               greatest(sqrt(list_inner_product(eq.e, eq.e)) *
+                        sqrt(list_inner_product(ev.e, ev.e)), 1e-12) AS score
+      FROM probes p
+      JOIN fassign fa ON fa.c = p.c AND fa.vec_id <> p.query_id
+      JOIN ed eq ON eq.vec_id = p.query_id
+      JOIN ed ev ON ev.vec_id = fa.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored QUALIFY rank <= 5
+    """
