@@ -1340,6 +1340,24 @@ def dedup_embedding_cosine(spark, sf_dir):
     return cosine_dup_pairs(_embeddings(spark, sf_dir), tau=0.35)
 
 
+@q("dedup_lsh_candidates")  # hard oracle attached at end of module
+def dedup_lsh_candidates(spark, sf_dir):
+    """Candidate (a < b) pairs from the multi-table sign-LSH bucketing
+    stage of the candidate-first embedding dedup path
+    (operators/similarity.py:lsh_candidate_pairs, the linear-candidate
+    front of `cosine_dup_pairs_lsh` — the 100 TB path where exact O(n²)
+    verify is off the table). Hard-oracled: the 8×8 hyperplane bank is
+    splitmix64-counter Box–Muller draws (pure function of (dim, bits,
+    seed)), so the DuckDB oracle regenerates the planes, rebuilds every
+    (table, bucket) cell, applies the same bucket-cap hub suppression, and
+    re-derives the exact candidate set; recall-vs-planted-near-dups pytest
+    in tests/test_training_ops.py."""
+    from .operators.similarity import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        _embeddings(spark, sf_dir).select("vec_id", "embedding"))
+
+
 @q("ann_lsh_topk")  # hard oracle attached at end of module (needs splitmix SQL)
 def ann_lsh_topk(spark, sf_dir):
     """Random-hyperplane LSH bucketing + exact rerank within the probed
@@ -2207,4 +2225,61 @@ ORACLES["ann_ivf_topk"] = """
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, neighbor_id) AS rank
     FROM scored QUALIFY rank <= 5
+    """
+
+
+# dedup_lsh_candidates: same plane-regeneration scheme as ann_lsh_topk, but
+# for the 8-table × 8-bit bank of lsh_candidate_pairs (seed 101).
+# hyperplanes(dim, 64, 101) is reshaped (8, 8, dim) by the engine, so global
+# bit index g maps to table g // 8, in-table bit g % 8. The oracle rebuilds
+# every (table, bucket) cell, applies the same bucket-cap hub suppression
+# (count > 2000 dropped — never binds at test scale but kept for semantic
+# parity), and emits the distinct same-cell (a < b) join. Output is
+# integer-only, so cross-engine float noise on the plane dot products
+# (~1e-15, sign decisions measure-zero from zero) never crosses the gate.
+
+_CAND_SEED_OFF = 101 * 10_000_019  # hyperplanes(seed=101) counter offset
+_cand_frag, _cand_final = _chain_ctes(
+    "cc0", [[("px", f"(c + {_CAND_SEED_OFF})")] + _sm_stages("px", "cp_", "h")], "cpc"
+)
+
+ORACLES["dedup_lsh_candidates"] = f"""
+    WITH dv AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+    cc0 AS (
+      SELECT CAST(unnest(generate_series(0, 2 * 64 * (SELECT dim FROM dv) - 1))
+             AS HUGEINT) AS c
+    ),
+    {_cand_frag},
+    cu AS (
+      SELECT CAST(c AS BIGINT) AS ci,
+             CAST(h >> 11 AS DOUBLE) / 9007199254740992.0 AS u
+      FROM {_cand_final}
+    ),
+    cg AS (
+      SELECT u0.ci AS bj,
+             sqrt(-2 * ln(u0.u + 1e-12)) * cos(2 * pi() * u1.u) AS g
+      FROM cu u0 JOIN cu u1 ON u1.ci = u0.ci + 64 * (SELECT dim FROM dv)
+      WHERE u0.ci < 64 * (SELECT dim FROM dv)
+    ),
+    pl AS (
+      SELECT bj // (SELECT dim FROM dv) AS bit_g,
+             list(g ORDER BY bj % (SELECT dim FROM dv)) AS plane
+      FROM cg GROUP BY 1
+    ),
+    ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+    bkt AS (
+      SELECT ed.vec_id, pl.bit_g // 8 AS tbl,
+             CAST(SUM(CASE WHEN list_inner_product(ed.e, pl.plane) > 0
+                           THEN CAST(1 AS BIGINT) << (pl.bit_g % 8)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM ed CROSS JOIN pl GROUP BY ed.vec_id, pl.bit_g // 8
+    ),
+    keepb AS (
+      SELECT tbl, bucket FROM bkt GROUP BY tbl, bucket HAVING count(*) <= 2000
+    ),
+    kb AS (SELECT b.* FROM bkt b JOIN keepb k USING (tbl, bucket))
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM kb x JOIN kb y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                       AND x.vec_id < y.vec_id
     """
