@@ -120,8 +120,17 @@ def jaccard_pairs(
     sh = word_shingles(docs, n).withColumn("sz", F.size("shingles"))
     # cache the exploded shingle set: it feeds the hot-shingle scan AND both
     # sides of the self-join — without it the normalize/shingle expressions
-    # (the CPU-dominant part) re-run up to 3×
-    ex = sh.select("doc_id", "sz", F.explode("shingles").alias("sh")).cache()
+    # (the CPU-dominant part) re-run up to 3×.  The shingle TEXT never
+    # leaves the map side: the join/count key is its 64-bit hash, so every
+    # exchange (hot-shingle count, anti-join, self-join) moves fixed-width
+    # rows — at corpus scale the n-gram strings would otherwise dominate
+    # shuffle bytes.  A collision only miscounts one intersection cell by 1
+    # (expected colliding shingle pairs ~u²/2⁶⁵ — immaterial even at 10¹²
+    # distinct shingles, and a pair needs many shared shingles to clear tau).
+    ex = (
+        sh.select("doc_id", "sz", F.explode("shingles").alias("sh_txt"))
+        .select("doc_id", "sz", F.xxhash64("sh_txt").alias("sh"))
+    ).cache()
     if max_df is not None:
         hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")
