@@ -114,38 +114,78 @@ def variation_windows_eq(df: DataFrame, key: str, ts_col: str, value_col: str,
 def variation_windows_delta(df: DataFrame, key: str, ts_col: str, value_col: str,
                             delta: float) -> DataFrame:
     """General VariationWindow: a window breaks when |v - first_of_window| >
-    delta. Sequential per series → applyInPandas with a vectorized
-    break-scan per group (rare operator; not on the hot path)."""
-    import numpy as np
-    import pandas as pd
+    delta. Sequential per series in the ANCHORS only — so the per-series
+    sort and grouping run JVM-side (``sort_array(collect_list(struct))``,
+    whole-stage codegen) and one ``mapInArrow`` kernel scans every complete
+    series in an Arrow batch. The old per-group ``applyInPandas`` built a
+    pandas frame per series, which dominated the wall on many-small-series
+    inputs (1 500 × ~67-point series at sf0.1: the kernel itself is
+    microseconds per series).
 
+    ``ts_col`` leads the collected struct so ``sort_array`` orders by time;
+    the remaining fields only break ts ties, which the callers assert do
+    not exist."""
+    import numpy as np
+    import pyarrow as pa
+
+    fields = [ts_col] + [f.name for f in df.schema.fields
+                         if f.name not in (key, ts_col)]
+    collected = df.groupBy(key).agg(
+        F.sort_array(F.collect_list(F.struct(*fields))).alias("pts")
+    )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", variation_group bigint"
+    # plain-string column list: the kernel closure must not capture `df`
+    # (a DataFrame pins the driver-only SparkContext and cannot pickle)
+    out_names = [f.name for f in df.schema.fields]
 
-    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
-        v = pdf[value_col].to_numpy()
-        n = len(v)
-        group = np.empty(n, dtype=np.int64)
-        # anchored scan is inherently sequential in the ANCHORS, not the
-        # points: scan forward in vectorized blocks for the next break, so
-        # Python-level iterations are O(n_windows + n/block), not O(n)
-        g, i, block = 0, 0, 4096
-        while i < n:
-            anchor = v[i]
-            nxt = n
-            j = i + 1
-            while j < n:
-                hits = np.flatnonzero(np.abs(v[j:j + block] - anchor) > delta)
-                if len(hits):
-                    nxt = j + int(hits[0])
-                    break
-                j += block
-            group[i:nxt] = g
-            g += 1
-            i = nxt
-        pdf["variation_group"] = group
-        return pdf
+    def kern(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            pts = b.column("pts")
+            if isinstance(pts, pa.ChunkedArray):
+                pts = pts.combine_chunks()
+            offs = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            flat = pts.flatten()
+            v = flat.field(value_col).to_numpy(zero_copy_only=False)
+            group = np.empty(len(v), dtype=np.int64)
+            for s in range(b.num_rows):
+                lo, hi = int(offs[s]), int(offs[s + 1])
+                # blocked break-scan: Python iterations are O(n_windows +
+                # n/block), not O(n). The block ramps 64 → 4096 so short
+                # windows don't pay a full 4096-element scan per anchor
+                # while long windows still amortize to full-width slices.
+                g, i = 0, lo
+                while i < hi:
+                    anchor = v[i]
+                    nxt = hi
+                    j, blk = i + 1, 64
+                    while j < hi:
+                        hits = np.flatnonzero(
+                            np.abs(v[j:min(j + blk, hi)] - anchor) > delta
+                        )
+                        if len(hits):
+                            nxt = j + int(hits[0])
+                            break
+                        j += blk
+                        blk = min(blk * 2, 4096)
+                    group[i:nxt] = g
+                    g += 1
+                    i = nxt
+            counts = offs[1:] - offs[:-1]
+            idx = pa.array(np.repeat(np.arange(b.num_rows), counts))
+            cols, names = [], []
+            for name in out_names:
+                if name == key:
+                    cols.append(b.column(key).take(idx))
+                else:
+                    cols.append(flat.field(name))
+                names.append(name)
+            cols.append(pa.array(group))
+            names.append("variation_group")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
-    return df.groupBy(key).applyInPandas(kern, schema=out_schema)
+    return collected.mapInArrow(kern, schema=out_schema)
