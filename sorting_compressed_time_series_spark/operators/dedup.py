@@ -307,9 +307,14 @@ def simhash_pairs(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
     )
     wsz = W.partitionBy("band", "key")
+    # cache the (small: docs × 4 fixed-width rows) bucket frame: BOTH sides
+    # of the self-join read it, and the broadcast on one side breaks
+    # Spark's ReuseExchange, so without the cache the whole fingerprint
+    # computation (md5 per word + 64 bit-sum aggregates, the dominant
+    # cost) runs twice — plan-verified
     buckets = buckets.withColumn("bsz", F.count("*").over(wsz)).filter(
         (F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket)
-    ).drop("bsz")
+    ).drop("bsz").cache()
     l = buckets.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "band", "key")
     rr = buckets.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "band", "key")
     cand = (
@@ -319,11 +324,16 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return (
+    out = (
         cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    # see jaccard_pairs: eager-materialize the tiny pair frame, release
+    # the cached buckets immediately
+    out = out.localCheckpoint(eager=True)
+    buckets.unpersist()
+    return out
 
 
 def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:

@@ -522,18 +522,30 @@ def lsh_candidate_pairs(ids_only: DataFrame, n_tables: int = 8,
                 names=["vec_id", "tbl", "bucket"],
             )
 
+    # cache the (vec_id, tbl, bucket) frame — fixed-width corpus × n_tables
+    # rows: the size count, the cap anti-join, and BOTH sides of the
+    # self-join read it, and without the cache Spark re-runs the bucketing
+    # kernel (a full corpus scan + matmul) once per consumer — the
+    # broadcast on the cap side breaks ReuseExchange (plan-verified, same
+    # failure shape as simhash_pairs). MEMORY_AND_DISK default spills
+    # rather than evicts at scale; recomputing the kernel 4× is worse.
     tb = ids_only.mapInArrow(
         kern, schema="vec_id bigint, tbl int, bucket bigint"
-    )
+    ).cache()
     sizes = tb.groupBy("tbl", "bucket").agg(F.count("*").alias("n"))
-    tb = tb.join(
+    kept = tb.join(
         F.broadcast(sizes.filter(F.col("n") > bucket_cap)),
         ["tbl", "bucket"], "left_anti",
     )
-    return (
-        tb.alias("x")
-        .join(tb.alias("y"), ["tbl", "bucket"])
+    out = (
+        kept.alias("x")
+        .join(kept.alias("y"), ["tbl", "bucket"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()
     )
+    # candidate pairs are the designed-linear output; eager-materialize so
+    # the corpus-sized cache is released NOW (jaccard_pairs pattern)
+    out = out.localCheckpoint(eager=True)
+    tb.unpersist()
+    return out
