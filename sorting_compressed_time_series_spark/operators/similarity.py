@@ -305,7 +305,11 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
     ``probe_radius`` of its own (near-boundary neighbors land one sign flip
     away — multi-probe recovers most of the recall a single bucket loses).
     Returns (query_id, neighbor_id, rank) within the probed buckets."""
-    buckets = lsh_buckets(emb, n_bits, seed)
+    # cache the fixed-width (vec_id, bucket) frame: the query side and the
+    # corpus side of the candidate join both consume it, and predicates
+    # cannot push through the Python bucketing kernel — uncached, the full
+    # corpus bucketing pass runs twice (same shape as lsh_candidate_pairs)
+    buckets = lsh_buckets(emb, n_bits, seed).cache()
     withb = emb.join(buckets, "vec_id")
     probe_deltas = [0]
     if probe_radius >= 1:
@@ -341,11 +345,15 @@ def lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5,
         ),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+    # n_queries × k rows: eager-materialize, release the cached buckets
+    out = out.localCheckpoint(eager=True)
+    buckets.unpersist()
+    return out
 
 
 def cosine_dup_pairs(emb: DataFrame, tau: float = 0.8,
