@@ -628,6 +628,14 @@ def main() -> None:
                 cur["best_efficiency_clean"] = h["efficiency"]
                 cur["clean_vs_machine_ceiling"] = h.get(
                     "efficiency_vs_machine_ceiling")
+                # carry the clean run's OWN throughputs: the *_any fields
+                # above may belong to a storm-biased window, and pairing
+                # the clean efficiency with unclean tokens/s is exactly
+                # the misread this block exists to prevent
+                cur["tokens_per_sec_lo_clean"] = h["tokens_per_sec_lo"]
+                cur["tokens_per_sec_hi_clean"] = h["tokens_per_sec_hi"]
+        for cur in pairs.values():
+            cur["clean_pair"] = "best_efficiency_clean" in cur
         result["scaling_pairs_observed"] = pairs
 
     # per-query timings (after scaling; ~fixed cost, not deadline-gated)

@@ -36,7 +36,13 @@ MINHASH_P = 2_147_483_647  # 2^31 - 1, Mersenne prime
 _M64 = (1 << 64) - 1
 
 
-def _splitmix64(i: int) -> int:
+def _perm_seed_mix(i: int) -> int:
+    """Deterministic 64-bit mix of a small counter, used ONLY to derive the
+    minhash permutation constants below.  NOT the same function as
+    functions/hashing.splitmix64 (that one ADDS the golden constant before
+    mixing; this one MULTIPLIES the counter by it) — don't swap one for the
+    other when extending an oracle: the constants flow to the SQL through
+    minhash_perm_constants(), never recomputed SQL-side."""
     z = (i * 0x9E3779B97F4A7C15) & _M64
     z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
@@ -48,8 +54,8 @@ def minhash_perm_constants(num_perm: int) -> list[tuple[int, int]]:
     b in [0, p-1] — shared by the Spark operator and the oracle SQL."""
     return [
         (
-            _splitmix64(2 * i + 1) % (MINHASH_P - 1) + 1,
-            _splitmix64(2 * i + 2) % MINHASH_P,
+            _perm_seed_mix(2 * i + 1) % (MINHASH_P - 1) + 1,
+            _perm_seed_mix(2 * i + 2) % MINHASH_P,
         )
         for i in range(num_perm)
     ]
@@ -127,10 +133,14 @@ def jaccard_pairs(
     # shuffle bytes.  A collision only miscounts one intersection cell by 1
     # (expected colliding shingle pairs ~u²/2⁶⁵ — immaterial even at 10¹²
     # distinct shingles, and a pair needs many shared shingles to clear tau).
-    ex = (
+    ex_cached = (
         sh.select("doc_id", "sz", F.explode("shingles").alias("sh_txt"))
         .select("doc_id", "sz", F.xxhash64("sh_txt").alias("sh"))
     ).cache()
+    # keep the cached handle separate: unpersist() matches plans by
+    # sameResult, so calling it on the anti-joined frame below would be a
+    # silent no-op and the corpus-sized cache would pin executor storage
+    ex = ex_cached
     if max_df is not None:
         hot = ex.groupBy("sh").count().filter(F.col("count") > max_df).select("sh")
         ex = ex.join(F.broadcast(hot), "sh", "left_anti")
@@ -150,7 +160,7 @@ def jaccard_pairs(
     # corpus-sized cached explode can be released NOW instead of pinning
     # executor memory for the life of the session
     out = out.localCheckpoint(eager=True)
-    ex.unpersist()
+    ex_cached.unpersist()
     return out
 
 
@@ -358,9 +368,12 @@ def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     e = pairs.select(F.col("a").cast("long"), F.col("b").cast("long")).filter(
         F.col("a") != F.col("b")
     )
+    # materialize the symmetrized edge list once: every contraction round
+    # joins against it, and without the checkpoint the union+distinct
+    # shuffle (the dominant exchange) re-executes per round
     edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     # parent[v] starts as min(v, min neighbor)
     parent = (
         edges.groupBy("a")
@@ -402,10 +415,11 @@ def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 
 def dedup_keep_list(docs: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, keep boolean): keep the smallest doc_id of every near-dup
-    component, and every doc that appears in no pair. The end-to-end
-    output a training pipeline filters by — composes with any pair
-    source (jaccard_pairs, minhash_lsh_candidates + verify, simhash_pairs,
+    """(doc_id, group_id, keep): keep the smallest doc_id of every near-dup
+    component, and every doc that appears in no pair (group_id = its own
+    doc_id for singletons). The end-to-end output a training pipeline
+    filters by — composes with any pair source (jaccard_pairs,
+    minhash_lsh_candidates + verify, simhash_pairs,
     cosine_dup_pairs[_lsh])."""
     groups = dup_groups(pairs)
     return (
@@ -413,6 +427,7 @@ def dedup_keep_list(docs: DataFrame, pairs: DataFrame,
         .join(groups, "doc_id", "left")
         .select(
             "doc_id",
+            F.coalesce("group_id", "doc_id").alias("group_id"),
             (F.col("group_id").isNull()
              | (F.col("group_id") == F.col("doc_id"))).alias("keep"),
         )

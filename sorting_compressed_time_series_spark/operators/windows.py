@@ -123,8 +123,13 @@ def variation_windows_delta(df: DataFrame, key: str, ts_col: str, value_col: str
     microseconds per series).
 
     ``ts_col`` leads the collected struct so ``sort_array`` orders by time;
-    the remaining fields only break ts ties, which the callers assert do
-    not exist."""
+    the remaining struct fields break ts ties, making the scan order a
+    DETERMINISTIC total order — (ts, value, ...) — rather than arrival
+    order. This is the operator's defined tie semantics (anchored windows
+    are order-dependent, so ties need *some* total order to be
+    reproducible); the streaming twin sorts each micro-batch the same way,
+    diverging only when a tie straddles a trigger boundary. The gate
+    fixtures are tie-free, so the choice is unobservable there."""
     import numpy as np
     import pyarrow as pa
 

@@ -1202,17 +1202,7 @@ def dedup_groups_keep(spark, sf_dir):
     the exact same partition of the corpus."""
     docs = _documents(spark, sf_dir)
     pairs = DD.jaccard_pairs(docs, n=3, tau=0.2, max_df=50)
-    groups = DD.dup_groups(pairs)
-    return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-        .join(groups, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("group_id", "doc_id").alias("group_id"),
-            (F.col("group_id").isNull()
-             | (F.col("group_id") == F.col("doc_id"))).alias("keep"),
-        )
-    )
+    return DD.dedup_keep_list(docs, pairs)
 
 
 @q("dedup_minhash_lsh", _minhash_lsh_oracle())
@@ -1969,7 +1959,9 @@ def aligned_series_agg(spark, sf_dir):
 def variation_window_delta(spark, sf_dir):
     """General VariationWindow(delta): window breaks when |v - first_of_
     window| > delta (reference window/VariationWindow) — sequential per
-    series, applyInPandas; delta=0 variant has a SQL oracle above.
+    series: sort_array(collect_list(struct)) groups JVM-side, one
+    mapInArrow kernel scans every complete series per batch (see
+    operators/windows.py); delta=0 variant has a SQL oracle above.
 
     The anchored scan IS SQL-expressible as a recursive CTE: the anchor is
     carried through the recursion one row per step (depth = max rows per

@@ -118,7 +118,11 @@ def streaming_variation_delta(
             anchor, gid, cnt = None, 0, 0
         rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="stable")
+            # (ts, value) matches the batch operator's sort_array total
+            # order, so the two paths agree even on tied timestamps —
+            # unless a tie straddles a trigger boundary, which no
+            # streaming operator can reorder (documented divergence)
+            pdf = pdf.sort_values([ts_col, value_col], kind="stable")
             v = pdf[value_col].to_numpy(dtype=np.float64)
             for x in v:  # anchored scan; batches are small per (series, trigger)
                 if anchor is None:
