@@ -26,9 +26,11 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Composite quality heuristic: length saturation + vocabulary
-    diversity + alphanumeric density. Deterministic closed-form."""
+def quality_expr() -> F.Column:
+    """The 6-dp-rounded composite quality column over a `text` column:
+    length saturation + vocabulary diversity + alphanumeric density.
+    Deterministic closed-form; shared by quality_score and the curation
+    top-p filter (and mirrored verbatim in both DuckDB oracles)."""
     w = _words()
     n_words = F.size(w)
     distinct_ratio = F.size(F.array_distinct(w)) / n_words
@@ -36,8 +38,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")) / F.length("text")
     )
     len_sat = F.least(n_words / F.lit(100.0), F.lit(1.0))
-    score = F.round(0.4 * len_sat + 0.3 * distinct_ratio + 0.3 * alpha_ratio, 6)
-    return docs.select("doc_id", score.alias("quality"))
+    return F.round(0.4 * len_sat + 0.3 * distinct_ratio + 0.3 * alpha_ratio, 6)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Composite quality heuristic per doc (see quality_expr)."""
+    return docs.select("doc_id", quality_expr().alias("quality"))
 
 
 def language_id(docs: DataFrame) -> DataFrame:

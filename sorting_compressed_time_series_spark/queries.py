@@ -1015,6 +1015,7 @@ def ttl_filter(spark, sf_dir):
 from .operators import dedup as DD  # noqa: E402
 from .operators import multimodal as MM  # noqa: E402
 from .operators import similarity as SIM  # noqa: E402
+from .operators import curation as CUR  # noqa: E402
 from .operators import textstats as TXT  # noqa: E402
 
 _NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -1445,6 +1446,128 @@ def doc_fingerprint(spark, sf_dir):
     """Rolling polynomial hash over the word stream (order-sensitive
     content fingerprint)."""
     return TXT.fingerprint(_documents(spark, sf_dir))
+
+
+# -- corpus-curation stages (decontaminate / sample / quality-filter) --------
+# The "benchmark" (eval-suite) set is carved deterministically out of the
+# corpus itself: doc_id % 20 = 7 — at real scale this would be the actual
+# held-out eval suites, always broadcast-small.
+
+_SAMPLE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_SAMPLE_DEFAULT = 0.1
+_SAMPLE_KEY_SQL = (
+    "CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+
+
+def _sample_threshold_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {min(int(r * 2**32), 2**32)}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE {arms} ELSE {min(int(_SAMPLE_DEFAULT * 2**32), 2**32)} END"
+
+
+_QUALITY_SQL = """round(0.4 * least(len(ws) / 100.0, 1.0)
+               + 0.3 * (len(list_distinct(ws)) * 1.0 / len(ws))
+               + 0.3 * (length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) * 1.0 / length(text)),
+             6)"""
+
+
+@q(
+    "decontaminate_ngram",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM w
+    ),
+    bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 7),
+    corp AS (SELECT doc_id, len(s) AS sz, s FROM sh WHERE doc_id % 20 != 7),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM corp),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM ex
+      WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.sz AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0 / greatest(c.sz, 1), 6) AS contamination,
+           round(coalesce(h.n_hit, 0) * 1.0 / greatest(c.sz, 1), 6) >= 0.1 AS contaminated
+    FROM corp c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (C4/CCNet-style): per corpus doc, the
+    fraction of its word 3-gram shingles that appear in the eval-suite
+    set; flag ≥ 10%. The benchmark grams are broadcast (eval suites are
+    MBs at any corpus scale) so the corpus text never shuffles — the only
+    exchange is one pre-reduced (doc_id, hit_count) row per document."""
+    docs = _documents(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 20 == 7)
+    return CUR.decontaminate(docs, benchmark, n=3, tau=0.1)
+
+
+@q(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, source AS stratum, {_SAMPLE_KEY_SQL} AS skey
+    FROM documents
+    WHERE {_SAMPLE_KEY_SQL} < {{case}}
+    """.replace("{case}", _sample_threshold_case_sql()),
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling / source mixing: per-source keep
+    rates applied via an md5-derived 32-bit key — a pure function of
+    doc_id, so retries, re-runs, and incremental appends sample
+    consistently. Map-side only: zero shuffle, zero driver state."""
+    return CUR.stratified_sample(
+        _documents(spark, sf_dir), _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT
+    )
+
+
+@q(
+    "quality_filter_topp",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source, text, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source AS stratum, {_QUALITY_SQL} AS quality FROM b
+    ),
+    hist AS (SELECT stratum, quality, count(*) AS cnt FROM scored GROUP BY 1, 2),
+    lv AS (
+      SELECT stratum, quality, cnt,
+             sum(cnt) OVER (PARTITION BY stratum ORDER BY quality DESC) AS cum,
+             (sum(cnt) OVER (PARTITION BY stratum) * 40 + 99) // 100 AS k
+      FROM hist
+    ),
+    admit AS (
+      SELECT stratum, quality, cnt,
+             greatest(0, least(cnt, k - (cum - cnt))) AS n_admit
+      FROM lv WHERE greatest(0, least(cnt, k - (cum - cnt))) > 0
+    ),
+    j AS (
+      SELECT s.doc_id, s.stratum, s.quality, a.n_admit, a.cnt,
+             row_number() OVER (PARTITION BY s.stratum, s.quality ORDER BY s.doc_id) AS rn
+      FROM scored s JOIN admit a USING (stratum, quality)
+    )
+    SELECT doc_id, stratum, quality FROM j WHERE n_admit = cnt OR rn <= n_admit
+    """,
+)
+def quality_filter_topp(spark, sf_dir):
+    """Exact per-source top-40% quality filter WITHOUT a corpus-wide
+    per-source sort: the 6-dp-quantized quality makes the per-source
+    (quality → count) histogram small, the cutoff comes from its running
+    sum, docs are kept via a broadcast threshold join, and only the one
+    boundary quality level pays a row_number (deterministic smallest-
+    doc_id tie-break). K = ceil(40% · n) in exact integer arithmetic."""
+    return CUR.quality_topp_filter(
+        _documents(spark, sf_dir), TXT.quality_expr(), keep_percent=40
+    )
 
 
 @q(

@@ -1,0 +1,123 @@
+"""Curation-stage oracles beyond the SQL gate: planted-contamination
+detection, exact md5-key sample recomputation, and a pandas reference for
+the histogram-cutoff top-p filter (incl. boundary tie-break)."""
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from sorting_compressed_time_series_spark.operators import curation as CUR
+from sorting_compressed_time_series_spark.operators import textstats as TXT
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_decontaminate_planted(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, bench_text, "bench"),                       # benchmark doc
+        (1, bench_text, "corp"),                        # exact copy: ratio 1.0
+        (2, "alpha beta gamma nine ten eleven twelve", "corp"),  # 1 of 5 shingles
+        (3, "one two three four five six seven", "corp"),        # disjoint
+        (4, "xx", "corp"),                               # < n words: 0 shingles
+    ]
+    docs = _mk_docs(spark, rows)
+    out = (
+        CUR.decontaminate(docs, docs.filter("doc_id = 0"), n=3, tau=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 4]  # benchmark doc excluded
+    assert out.loc[1, "contamination"] == 1.0 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_shingles"] == 5 and out.loc[2, "n_hit"] == 1
+    assert out.loc[2, "contamination"] == 0.2 and not out.loc[2, "contaminated"]
+    assert out.loc[3, "n_hit"] == 0 and out.loc[3, "contamination"] == 0.0
+    assert out.loc[4, "n_shingles"] == 0 and out.loc[4, "contamination"] == 0.0
+
+
+def test_decontaminate_counts_distinct_shingles_once(spark):
+    # repeated shingle in the corpus doc counts once (shingle SETS)
+    rows = [
+        (0, "a b c d", "bench"),
+        (1, "a b c a b c a b c", "corp"),
+    ]
+    docs = _mk_docs(spark, rows)
+    out = CUR.decontaminate(docs, docs.filter("doc_id = 0"), n=3).toPandas()
+    row = out[out.doc_id == 1].iloc[0]
+    # distinct shingles of doc 1: {a b c, b c a, c a b, ...} = 3; only 'a b c' hits
+    assert row.n_shingles == 3 and row.n_hit == 1
+
+
+def _py_sample_key(doc_id: int) -> int:
+    return int(hashlib.md5(f"sample:{doc_id}".encode()).hexdigest()[:8], 16)
+
+
+def test_stratified_sample_exact_membership(spark, docs):
+    rates = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+    out = CUR.stratified_sample(docs, rates, default_rate=0.1).toPandas()
+    ref = docs.select("doc_id", "source").toPandas()
+    ref["skey"] = ref.doc_id.map(_py_sample_key)
+    ref["thr"] = ref.source.map(lambda s: min(int(rates.get(s, 0.1) * 2**32), 2**32))
+    kept = ref[ref.skey < ref.thr]
+    assert set(out.doc_id) == set(kept.doc_id)
+    assert dict(zip(out.doc_id, out.skey)) == dict(zip(kept.doc_id, kept.skey))
+
+
+def test_stratified_sample_deterministic_and_rate(spark, docs):
+    rates = {"src0": 1.0}
+    a = CUR.stratified_sample(docs, rates, default_rate=0.0).toPandas()
+    b = CUR.stratified_sample(docs, rates, default_rate=0.0).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    n_src0 = docs.filter("source = 'src0'").count()
+    assert len(a) == n_src0  # rate 1.0 keeps the whole stratum, 0.0 nothing else
+
+
+def test_quality_topp_matches_pandas_reference(spark, docs):
+    pct = 40
+    out = CUR.quality_topp_filter(docs, TXT.quality_expr(), keep_percent=pct).toPandas()
+    scored = (
+        docs.select("doc_id", F.col("source").alias("stratum"),
+                    TXT.quality_expr().alias("quality"))
+        .toPandas()
+    )
+    keep = []
+    for s, g in scored.groupby("stratum"):
+        k = (len(g) * pct + 99) // 100
+        g = g.sort_values(["quality", "doc_id"], ascending=[False, True])
+        keep.append(g.head(k))
+    ref = pd.concat(keep)
+    assert len(out) == len(ref)
+    got = out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "stratum", "quality"]]
+    want = ref.sort_values("doc_id").reset_index(drop=True)[["doc_id", "stratum", "quality"]]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_quality_topp_boundary_tiebreak(spark):
+    # 5 docs, all the same quality, one stratum, keep 40% -> K = 2, smallest ids
+    rows = [(i, "same words here exactly alike", "s") for i in range(5)]
+    docs = _mk_docs(spark, rows)
+    out = CUR.quality_topp_filter(docs, TXT.quality_expr(), keep_percent=40).toPandas()
+    assert sorted(out.doc_id) == [0, 1]
+
+
+def test_quality_topp_k_is_integer_exact(spark):
+    # n=25, pct=40 -> K must be exactly 10 (a float 0.4*25 could round to 11)
+    rows = [(i, f"w{i} " * (i + 1), "s") for i in range(25)]
+    docs = _mk_docs(spark, rows)
+    out = CUR.quality_topp_filter(docs, TXT.quality_expr(), keep_percent=40)
+    assert out.count() == 10
+    assert math.ceil(25 * 40 / 100) == 10

@@ -222,3 +222,63 @@ def test_cosine_dup_pairs_single_shuffle_no_cartesian(spark):
     shuffles = [l for l in phys.splitlines() if "Exchange hashpartitioning" in l]
     assert len(shuffles) == 1, "\n".join(shuffles)
     assert "gi" in shuffles[0] and "gj" in shuffles[0]
+
+
+def test_stratified_sample_is_map_only(spark):
+    """Deterministic sampling must plan zero exchanges: membership is a
+    pure function of the row, so the filter rides the parquet scan."""
+    from sorting_compressed_time_series_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(stratified_sample(docs, {"src0": 0.5}, 0.1), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_never_shuffles_text(spark):
+    """The benchmark-gram join must broadcast the (eval-suite-sized) gram
+    set; no exchange may carry the corpus text or its exploded shingles —
+    the only shuffle is the pre-reduced per-doc (count, hits) aggregate."""
+    from sorting_compressed_time_series_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    plan = plan_of(decontaminate(docs, bench), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # exactly two: the benchmark-side gram distinct (eval-suite-sized) and
+    # the pre-reduced per-doc aggregate; the corpus-side exchange keys on
+    # doc_id only — exploded corpus shingles/text never cross the wire
+    assert len(shuffles) == 2, "\n".join(shuffles)
+    assert sum("gram" in l for l in shuffles) == 1, "\n".join(shuffles)
+    assert any(
+        "doc_id" in l and "gram" not in l and "text" not in l for l in shuffles
+    ), "\n".join(shuffles)
+
+
+def test_quality_topp_joins_broadcast_cutoffs_no_corpus_sort(spark):
+    """The per-stratum cutoff must come back to the corpus as a broadcast
+    join, and no window/sort may partition by stratum alone (that would
+    sort a whole source's corpus on one task at scale) — the only window
+    keys are (stratum, quality) levels."""
+    from sorting_compressed_time_series_spark.operators import textstats as TXT
+    from sorting_compressed_time_series_spark.operators.curation import (
+        quality_topp_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        quality_topp_filter(docs, TXT.quality_expr(), keep_percent=40),
+        mode="simple",
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-side row_number window must partition by BOTH stratum and
+    # quality (stratum-alone would sort a whole source on one task); the
+    # stratum-only exchange/window pair is the histogram running sum —
+    # post-aggregate, quality-level-sized, fine
+    rn_windows = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_windows, plan
+    for l in rn_windows:
+        assert "stratum" in l and "quality" in l, l
