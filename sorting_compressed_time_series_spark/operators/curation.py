@@ -183,3 +183,60 @@ def quality_topp_filter(
         .filter((F.col("n_admit") == F.col("cnt")) | (F.col("rn") <= F.col("n_admit")))
         .select("doc_id", "stratum", "quality")
     )
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    quality: F.Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    keep_percent: int = 40,
+    n: int = 3,
+    tau: float = 0.1,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The fused corpus-curation pipeline in the published recipe order:
+    per-source quality top-p -> exact dedup among survivors -> benchmark
+    decontamination -> deterministic stratified sample.
+
+    Returns the final kept set as ``(doc_id, stratum, quality, skey)``.
+
+    Stage composition is pure keep-list joins on the fixed-width id key:
+    each stage computes its verdict from its own scan of the (columnar,
+    predicate-pruned) text and contributes only a doc_id set to the chain,
+    so no exchange ever carries document text.  Dedup runs on QUALITY
+    SURVIVORS (the kept doc of a dup group is the smallest id that passed
+    the quality bar, matching what a staged pipeline would produce), and
+    decontamination runs on dedup survivors — each stage sees exactly the
+    corpus the previous stage emitted.
+
+    Each stage's keep-list is eagerly ``localCheckpoint``-ed — the
+    distributed analogue of the stage materialization a warehouse pipeline
+    does between jobs.  The checkpointed frames are NARROW (ids + at most
+    stratum/quality, never text), so executor storage cost is a few bytes
+    per surviving doc.  Without this the lazy join cascade duplicates
+    every upstream subtree per downstream reference — the measured single-
+    action plan holds 32 parquet scans with ZERO ReusedExchange nodes
+    (Catalyst does not collapse them; the quality histogram alone
+    evaluates 4×) vs one scan per stage checkpointed.  On the 500-doc test
+    corpus the two shapes time equally (job overhead dominates); the
+    checkpointed shape is what survives a corpus 10^6× larger, where each
+    duplicated subtree is a full corpus scan."""
+    from .dedup import exact_dedup
+
+    kept_q = quality_topp_filter(
+        docs, quality, keep_percent, strata_col, id_col).localCheckpoint()
+    surv_q = docs.join(kept_q.select(F.col("doc_id").alias(id_col)), id_col)
+    dd_keep = exact_dedup(surv_q, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)).localCheckpoint()
+    surv_d = surv_q.join(dd_keep, id_col)
+    flags = decontaminate(surv_d, benchmark, n=n, tau=tau, id_col=id_col)
+    clean = flags.filter(~F.col("contaminated")).select(
+        F.col("doc_id").alias(id_col)).localCheckpoint()
+    surv_c = surv_d.join(clean, id_col)
+    sampled = stratified_sample(surv_c, rates, default_rate, strata_col, id_col)
+    return sampled.join(
+        kept_q.select("doc_id", "quality"), "doc_id"
+    ).select("doc_id", "stratum", "quality", "skey")

@@ -1460,9 +1460,9 @@ _SAMPLE_KEY_SQL = (
 )
 
 
-def _sample_threshold_case_sql() -> str:
+def _sample_threshold_case_sql(col: str = "source") -> str:
     arms = " ".join(
-        f"WHEN source = '{s}' THEN {min(int(r * 2**32), 2**32)}"
+        f"WHEN {col} = '{s}' THEN {min(int(r * 2**32), 2**32)}"
         for s, r in sorted(_SAMPLE_RATES.items())
     )
     return f"CASE {arms} ELSE {min(int(_SAMPLE_DEFAULT * 2**32), 2**32)} END"
@@ -1567,6 +1567,95 @@ def quality_filter_topp(spark, sf_dir):
     doc_id tie-break). K = ceil(40% · n) in exact integer arithmetic."""
     return CUR.quality_topp_filter(
         _documents(spark, sf_dir), TXT.quality_expr(), keep_percent=40
+    )
+
+
+@q(
+    "curation_pipeline",
+    f"""
+    WITH b AS (
+      SELECT doc_id, source, text, string_split({_NORM_SQL}, ' ') AS ws
+      FROM documents WHERE doc_id % 20 != 7
+    ),
+    scored AS (
+      SELECT doc_id, source AS stratum, {_QUALITY_SQL} AS quality FROM b
+    ),
+    hist AS (SELECT stratum, quality, count(*) AS cnt FROM scored GROUP BY 1, 2),
+    lv AS (
+      SELECT stratum, quality, cnt,
+             sum(cnt) OVER (PARTITION BY stratum ORDER BY quality DESC) AS cum,
+             (sum(cnt) OVER (PARTITION BY stratum) * 40 + 99) // 100 AS k
+      FROM hist
+    ),
+    admit AS (
+      SELECT stratum, quality, cnt,
+             greatest(0, least(cnt, k - (cum - cnt))) AS n_admit
+      FROM lv WHERE greatest(0, least(cnt, k - (cum - cnt))) > 0
+    ),
+    j AS (
+      SELECT s.doc_id, s.stratum, s.quality, a.n_admit, a.cnt,
+             row_number() OVER (PARTITION BY s.stratum, s.quality ORDER BY s.doc_id) AS rn
+      FROM scored s JOIN admit a USING (stratum, quality)
+    ),
+    qkeep AS (SELECT doc_id, stratum, quality FROM j WHERE n_admit = cnt OR rn <= n_admit),
+    dd AS (
+      SELECT min(d.doc_id) AS doc_id
+      FROM documents d JOIN qkeep USING (doc_id)
+      GROUP BY {_NORM_SQL.replace('text', 'd.text')}
+    ),
+    wdoc AS (
+      SELECT d.doc_id, string_split({_NORM_SQL.replace('text', 'd.text')}, ' ') AS ws
+      FROM documents d JOIN dd USING (doc_id)
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      FROM wdoc
+    ),
+    bw AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+      FROM documents WHERE doc_id % 20 = 7
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+      FROM bw
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hit FROM ex
+      WHERE g IN (SELECT g FROM bg) GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT s2.doc_id FROM sh s2 LEFT JOIN hits h USING (doc_id)
+      WHERE round(coalesce(h.n_hit, 0) * 1.0 / greatest(len(s2.s), 1), 6) < 0.1
+    )
+    SELECT q.doc_id, q.stratum, q.quality, {_SAMPLE_KEY_SQL} AS skey
+    FROM qkeep q JOIN clean USING (doc_id)
+    WHERE {_SAMPLE_KEY_SQL} < {{case}}
+    """.replace("{case}", _sample_threshold_case_sql("stratum")),
+)
+def curation_pipeline(spark, sf_dir):
+    """Fused corpus-curation pipeline (published recipe order): per-source
+    quality top-40% -> exact dedup among survivors -> benchmark
+    decontamination (3-gram overlap vs the doc_id%20==7 eval slice, tau
+    0.1) -> deterministic stratified sample. Stage composition is pure
+    keep-list joins on the fixed-width id key — document text never
+    crosses an exchange; each stage sees exactly the corpus the previous
+    stage emitted."""
+    all_docs = _documents(spark, sf_dir)
+    corpus = all_docs.filter(F.col("doc_id") % 20 != 7)
+    benchmark = all_docs.filter(F.col("doc_id") % 20 == 7)
+    return CUR.curate(
+        corpus,
+        benchmark,
+        TXT.quality_expr(),
+        _SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+        keep_percent=40,
+        n=3,
+        tau=0.1,
     )
 
 

@@ -121,3 +121,57 @@ def test_quality_topp_k_is_integer_exact(spark):
     out = CUR.quality_topp_filter(docs, TXT.quality_expr(), keep_percent=40)
     assert out.count() == 10
     assert math.ceil(25 * 40 / 100) == 10
+
+
+def test_curate_pipeline_stage_order_planted(spark):
+    # 100 distinct alnum words -> quality exactly 1.0 (len_sat = distinct =
+    # alpha = 1.0); junk docs land far below. K = ceil(40% * 10) = 4 keeps
+    # exactly the four quality-1.0 docs, so each later stage's effect is
+    # attributable: dedup drops 3 (dup of 2, larger id), decontamination
+    # drops 4 (its text IS the benchmark doc), sampling at rate 1.0 keeps
+    # the rest.
+    w = lambda p: " ".join(f"{p}{i}" for i in range(100))
+    bench = _mk_docs(spark, [(1000, w("c"), "bench")])
+    corpus = _mk_docs(
+        spark,
+        [(1, w("a"), "s"), (2, w("b"), "s"), (3, w("b"), "s"), (4, w("c"), "s")]
+        + [(i, "junk junk", "s") for i in range(5, 11)],
+    )
+    out = (
+        CUR.curate(corpus, bench, TXT.quality_expr(), {"s": 1.0},
+                   default_rate=0.0, keep_percent=40, n=3, tau=0.1)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.quality) == [1.0, 1.0]
+    assert list(out.stratum) == ["s", "s"]
+    assert list(out.skey) == [_py_sample_key(1), _py_sample_key(2)]
+
+
+def test_curate_dedup_runs_on_quality_survivors(spark):
+    # A dup group whose smallest id FAILED the quality bar: the kept doc of
+    # the group must be the smallest SURVIVING id (doc 6), not the corpus-wide
+    # min (doc 1) — i.e. dedup composes after the quality stage, matching a
+    # staged pipeline.
+    w = lambda p: " ".join(f"{p}{i}" for i in range(100))
+    dup = w("d")
+    bench = _mk_docs(spark, [(1000, w("z"), "bench")])
+    corpus = _mk_docs(
+        spark,
+        # doc 1: dup text TRUNCATED below the len_sat=1.0 bar (40 words) so
+        # it loses the quality cut; docs 6,7 are full-quality dups
+        [(1, " ".join(f"d{i}" for i in range(40)), "s"),
+         (6, dup, "s"), (7, dup, "s"), (2, w("a"), "s"), (3, w("b"), "s"),
+         (4, w("e"), "s")]
+        + [(i, "junk junk", "s") for i in range(8, 13)],
+    )
+    # 11 corpus docs -> K = ceil(4.4) = 5: quality-1.0 docs {2,3,4,6,7} win;
+    # doc 1 (quality < 1.0) is squeezed out by the five 1.0s
+    out = (
+        CUR.curate(corpus, bench, TXT.quality_expr(), {"s": 1.0},
+                   default_rate=0.0, keep_percent=40, n=3, tau=0.1)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.doc_id) == [2, 3, 4, 6]  # 7 deduped against 6; 1 never seen
