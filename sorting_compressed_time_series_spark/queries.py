@@ -5,9 +5,12 @@ and (where ANSI-SQL-expressible) carries a DuckDB oracle over the same
 parquet that the correctness gate compares row-counts/schemas/value-hashes
 against. The ``events`` table plays the time-series role (series key =
 ``user_id``); ``documents``/``embeddings`` drive the training-data
-pipeline operators. Non-SQL-expressible ops (codec internals, LSH,
-streaming) are registered without oracle → rows-only check; their real
-oracles are the pytest suites.
+pipeline operators. As of round 5 every registry entry carries an exact
+DuckDB oracle (zero rows-only entries): codec internals are oracled by a
+splitmix64-in-SQL corpus regeneration plus closed-form plane-size
+recomputation, LSH/MinHash/SimHash/IVF by engine-portable hashes (md5 /
+splitmix64) the oracle recomputes, sequential scans by recursive CTEs.
+The pytest suites remain the second, independent oracle layer.
 
 Column-name discipline: every computed column is aliased identically in
 the Spark code and the SQL (the driver hashes values under sorted column
