@@ -1451,6 +1451,70 @@ def doc_fingerprint(spark, sf_dir):
     return TXT.fingerprint(_documents(spark, sf_dir))
 
 
+@q(
+    "text_repetition",
+    f"""
+    WITH b AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, max(c) AS maxw, CAST(sum(c) AS BIGINT) AS nw
+      FROM (SELECT doc_id, w, count(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS w FROM b)
+            GROUP BY doc_id, w)
+      GROUP BY doc_id
+    ),
+    gc AS (
+      SELECT doc_id, max(c) AS maxg, CAST(sum(c) AS BIGINT) AS ng
+      FROM (SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ws)),
+                                               i -> ws[i] || ' ' || ws[i + 1])) AS g
+                  FROM b WHERE len(ws) >= 2)
+            GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           wc.nw AS n_words,
+           round(wc.maxw * 1.0 / wc.nw, 6) AS top_word_frac,
+           coalesce(round(gc.maxg * 1.0 / gc.ng, 6), 0.0) AS top_bigram_frac,
+           (round(wc.maxw * 1.0 / wc.nw, 6) > 0.20
+            OR coalesce(round(gc.maxg * 1.0 / gc.ng, 6), 0.0) > 0.18) AS flagged
+    FROM b JOIN wc USING (doc_id) LEFT JOIN gc USING (doc_id)
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: top-word / top-bigram occurrence
+    fractions + duplication flag.  The Spark plan is row-local (one HOF fold
+    per doc, zero exchanges — plan-asserted); the oracle is free to use the
+    shuffling unnest+GROUP BY formulation DuckDB optimizes for."""
+    return TXT.repetition_stats(_documents(spark, sf_dir))
+
+
+def _pii_oracle_sql() -> str:
+    t = "text"
+    counts = []
+    for name, pat in TXT.PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({t}, '{pat}')) AS n_{name}"
+        )
+        t = f"regexp_replace({t}, '{pat}', '<{name.upper()}>', 'g')"
+    return (
+        "SELECT doc_id, "
+        + ", ".join(counts)
+        + f", md5({t}) AS clean_md5 FROM documents"
+    )
+
+
+@q("pii_scrub", _pii_oracle_sql())
+def pii_scrub(spark, sf_dir):
+    """PII redaction: per-class match counts (email/IPv4/phone, counted on
+    the progressively-scrubbed text so spans count once) + md5 of the
+    scrubbed text.  Patterns restricted to Java-regex/RE2-common syntax so
+    both engines match identically; map-only, zero shuffle."""
+    return TXT.pii_scrub(_documents(spark, sf_dir))
+
+
 # -- corpus-curation stages (decontaminate / sample / quality-filter) --------
 # The "benchmark" (eval-suite) set is carved deterministically out of the
 # corpus itself: doc_id % 20 = 7 — at real scale this would be the actual

@@ -175,3 +175,105 @@ def test_curate_dedup_runs_on_quality_survivors(spark):
         .sort_values("doc_id")
     )
     assert list(out.doc_id) == [2, 3, 4, 6]  # 7 deduped against 6; 1 never seen
+
+
+# -- repetition signals -------------------------------------------------------
+
+
+def test_repetition_planted_exact_fracs(spark):
+    rows = [
+        # 8 words, "spam" x4 -> top_word 4/8; bigram "spam spam" 3/7
+        (1, "spam spam spam spam a b c d", "s"),
+        # no repetition: 4 distinct words -> top_word 1/4, top_bigram 1/3
+        (2, "alpha beta gamma delta", "s"),
+        # single word: bigram array empty -> frac 0.0 by definition
+        (3, "solo", "s"),
+        # case/whitespace normalization folds "The  the" into one word
+        (4, "The  the THE x", "s"),
+    ]
+    out = (
+        TXT.repetition_stats(_mk_docs(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "top_word_frac"] == round(4 / 8, 6)
+    assert out.loc[1, "top_bigram_frac"] == round(3 / 7, 6)
+    assert bool(out.loc[1, "flagged"])  # 0.5 > 0.20
+    assert out.loc[2, "top_word_frac"] == 0.25
+    assert out.loc[2, "top_bigram_frac"] == round(1 / 3, 6)
+    # very short docs trip the bigram cutoff (1/3 > 0.18) — threshold
+    # semantics, same reason the published filters gate on doc length first
+    assert bool(out.loc[2, "flagged"])
+    assert out.loc[3, "n_words"] == 1
+    assert out.loc[3, "top_bigram_frac"] == 0.0
+    assert out.loc[4, "top_word_frac"] == 0.75  # the/the/the folded
+
+
+def test_repetition_flag_thresholds(spark):
+    # 10 distinct words -> top_word 0.1, top_bigram 1/9 ~ 0.111: both clear
+    clean = " ".join(f"w{i}" for i in range(10))
+    # 10 words, one word 3x -> top_word 0.3 > 0.20: flagged on words only
+    wordy = "x x x " + " ".join(f"w{i}" for i in range(7))
+    out = (
+        TXT.repetition_stats(_mk_docs(spark, [(1, clean, "s"), (2, wordy, "s")]))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert not bool(out.loc[1, "flagged"])
+    assert bool(out.loc[2, "flagged"])
+
+
+def test_repetition_plan_is_shuffle_free(spark, docs):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(TXT.repetition_stats(docs))
+    assert "Exchange" not in plan, plan
+
+
+# -- PII scrubbing ------------------------------------------------------------
+
+
+def test_pii_scrub_planted_counts_and_redaction(spark):
+    import duckdb
+
+    rows = [
+        (1, "mail me at jane.doe+x@example.co and bob@test.org thanks", "s"),
+        (2, "server 10.0.255.7 then call +1 415 555 0199 now", "s"),
+        # the email's digits must NOT also count as a phone (order matters)
+        (3, "a12345678901@host.com", "s"),
+        (4, "nothing sensitive here", "s"),
+    ]
+    sdf = (
+        TXT.pii_scrub(_mk_docs(spark, rows))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert sdf.loc[1, "n_email"] == 2 and sdf.loc[1, "n_phone"] == 0
+    assert sdf.loc[2, "n_ipv4"] == 1 and sdf.loc[2, "n_phone"] == 1
+    assert sdf.loc[3, "n_email"] == 1 and sdf.loc[3, "n_phone"] == 0
+    assert (
+        sdf.loc[4, ["n_email", "n_ipv4", "n_phone"]].sum() == 0
+    )
+    # cross-engine parity on the planted text: DuckDB (RE2) must produce the
+    # exact same counts and scrubbed-text md5 as Spark (Java regex)
+    from sorting_compressed_time_series_spark.queries import _pii_oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t, _ in rows)
+        + ") AS t(doc_id, text)"
+    )
+    odf = con.execute(_pii_oracle_sql()).df().set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(
+        sdf.reset_index(), odf.reset_index(), check_dtype=False
+    )
+
+
+def test_pii_scrub_plan_is_shuffle_free(spark, docs):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(TXT.pii_scrub(docs))
+    assert "Exchange" not in plan, plan
