@@ -143,6 +143,44 @@ def streaming_variation_delta(
     )
 
 
+def streaming_dedup_exact(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact content dedup at INGEST time — the streaming twin of
+    operators/dedup.exact_dedup, for pipelines that drop duplicate
+    documents as they arrive instead of in a batch pass.
+
+    Built on ``dropDuplicatesWithinWatermark`` keyed by the same
+    fixed-width (two independently-salted xxhash64 + length) content key
+    the batch operator shuffles on, so state-store rows stay ~20 bytes of
+    key regardless of document size and the state store evicts keys once
+    the watermark passes them — bounded state on an unbounded stream,
+    which plain ``dropDuplicates`` cannot give.  First-arrival wins
+    (arrival order, not min-id: a streaming operator cannot see a later
+    smaller id — the documented divergence from the batch keep-list, which
+    re-running the batch dedup over the landed corpus reconciles).
+    Emits the surviving rows unchanged (id, ts, text pass through).
+    """
+    from ..operators.dedup import NORMALIZE
+
+    keyed = docs.withColumn(
+        "norm_text", F.expr(NORMALIZE.replace("text", text_col))
+    ).select(
+        "*",
+        F.xxhash64("norm_text").alias("_h"),
+        F.xxhash64(F.lit(0x9E3779B9), "norm_text").alias("_h2"),
+        F.length("norm_text").alias("_len"),
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h", "_h2", "_len"])
+        .drop("norm_text", "_h", "_h2", "_len")
+    )
+
+
 def run_stream_to_memory(spark, src_df_stream: DataFrame, window_us: int | None = None,
                          query_name: str = "stream_tier1",
                          agg: DataFrame | None = None,

@@ -171,3 +171,68 @@ def test_streaming_variation_delta_stateful_across_batches(spark, tmp_path):
     w = want.set_index(["doc_id", "variation_group"])["cnt"].sort_index()
     assert len(f) == len(w), (len(f), len(w))
     assert np.array_equal(f.to_numpy(), w.to_numpy())
+
+
+def test_streaming_dedup_exact_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based ingest dedup: a duplicate text
+    arriving in a LATER micro-batch (same content key held in the state
+    store) is dropped; fresh texts survive. Survivors == batch exact-dedup
+    group count over the landed corpus."""
+    from sorting_compressed_time_series_spark.operators.dedup import exact_dedup
+    from sorting_compressed_time_series_spark.streaming.stream_rollup import (
+        run_stream_to_memory,
+        streaming_dedup_exact,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    base = docs.withColumn(
+        "ts", F.timestamp_micros(F.lit(1_700_000_000_000_000) + F.col("doc_id"))
+    )
+    # batch 2: 100 exact duplicates (whitespace-noised, same normalized
+    # text) + 50 genuinely new docs, all 1s later
+    dup = (
+        base.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            # spaces only: Spark's trim() strips ' ' but not tabs, so a
+            # trailing tab would normalize to a trailing space != original
+            F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text"),
+            F.timestamp_micros(F.unix_micros("ts") + 1_000_000).alias("ts"),
+        )
+    )
+    fresh = base.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("unique suffix "), F.col("doc_id").cast("string"), F.lit(" "),
+                 F.col("text")).alias("text"),
+        F.timestamp_micros(F.unix_micros("ts") + 1_000_000).alias("ts"),
+    )
+    src_dir = tmp_path / "dd"
+    src_dir.mkdir()
+    base.coalesce(1).write.parquet(str(src_dir / "a=1"))
+    dup.unionByName(fresh).coalesce(1).write.parquet(str(src_dir / "a=2"))
+    src = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/a=*")
+    )
+    got = run_stream_to_memory(
+        spark, None, agg=streaming_dedup_exact(src, watermark="1 hour"),
+        query_name="sdedup",
+    ).toPandas()
+
+    n_base, n_fresh = base.count(), fresh.count()
+    # every base doc survives (first arrival), every cross-batch duplicate
+    # is dropped, every fresh doc survives
+    assert len(got) == n_base + n_fresh, (len(got), n_base, n_fresh)
+    assert set(got.doc_id) == set(
+        r.doc_id for r in base.select("doc_id").collect()
+    ) | set(r.doc_id for r in fresh.select("doc_id").collect())
+    # survivor count == batch dedup group count over the landed corpus
+    landed = base.unionByName(dup).unionByName(fresh)
+    assert exact_dedup(landed).count() == len(got)
+    # pass-through schema: original columns unchanged, no key columns leak
+    assert set(got.columns) == {"doc_id", "text", "ts"}
