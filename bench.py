@@ -343,6 +343,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     if m:
         sf = float(m.group(1))
+        floor_key = str(sf)
+    else:
+        # Non-numeric dataset dirs (e.g. the 10x rehearsal at
+        # /dev/shm/sf_rehearsal) must NOT share a floor namespace with
+        # sf0.1 — a bigger dataset comparing against (and occasionally
+        # lowering) the graded sf0.1 floors corrupts the regression guard
+        # in both directions. Key such runs by the dir basename instead.
+        floor_key = os.path.basename(sf_dir.rstrip("/")) or sf_dir
     bench_docs = int(os.environ.get("BENCH_DOCS", max(2000, int(1_000_000 * sf))))
 
     result: dict = {"metric": "tokens_per_sec_encode_rollup", "unit": "tokens/sec", "sf": sf}
@@ -686,7 +694,7 @@ def main() -> None:
                 qfloor_all = json.load(fh)
         except (OSError, ValueError):
             qfloor_all = {}
-        qfloor = qfloor_all.setdefault(str(sf), {})
+        qfloor = qfloor_all.setdefault(floor_key, {})
         for name, t in qtimes.items():
             if t >= 0:
                 qfloor[name] = round(min(t, qfloor.get(name, t)), 3)
