@@ -432,3 +432,61 @@ def dedup_keep_list(docs: DataFrame, pairs: DataFrame,
              | (F.col("group_id") == F.col("doc_id"))).alias("keep"),
         )
     )
+
+
+def _content_key(docs: DataFrame) -> DataFrame:
+    """The fixed-width exact-dedup content key (see exact_dedup): two
+    independently-salted xxhash64 values + normalized length, so joins and
+    shuffles carry 20 bytes per doc instead of the text."""
+    return normalized(docs).select(
+        "*",
+        F.xxhash64("norm_text").alias("h"),
+        F.xxhash64(F.lit(0x9E3779B9), "norm_text").alias("h2"),
+        F.length("norm_text").alias("len"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-landed corpus: the
+    steady-state pattern at 100 TB, where re-running dedup over the whole
+    corpus per ingest is off the table. Returns (keep_id, n_dups) — one
+    row per surviving batch content group (smallest batch id wins), with
+    groups whose normalized text already exists in the corpus dropped.
+
+    Scale shape, ``broadcast_batch=True`` (the normal case: batch ≪
+    corpus): the batch collapses to its content-key groups (one small
+    shuffle, batch-sized); those keys broadcast to a map-only semi-join
+    over the corpus — the corpus is scanned ONCE and never exchanged, and
+    the semi-join output ("hit" keys) is ≤ the distinct batch keys, so the
+    final anti-join broadcasts too. Total exchanged bytes are O(|batch|)
+    regardless of corpus size. With ``broadcast_batch=False`` (a backfill
+    batch too big to broadcast) both sides hash-shuffle on the 20-byte
+    key — corpus text still never moves.
+
+    Same collision stance as exact_dedup: a 128-bit-key collision
+    over-drops a batch doc, never corrupts the corpus. First-landed wins
+    across the boundary by construction (a batch doc matching the corpus
+    is always the dropped side) — consistent with the streaming twin
+    streaming_dedup_exact's arrival-order rule."""
+    bkeys = (
+        _content_key(batch)
+        .groupBy("h", "h2", "len")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+    ckeys = _content_key(corpus).select("h", "h2", "len")
+    if broadcast_batch:
+        bkeys = bkeys.localCheckpoint(eager=True)  # cut the re-scan of batch
+        hits = ckeys.join(
+            F.broadcast(bkeys.select("h", "h2", "len")),
+            ["h", "h2", "len"],
+            "left_semi",
+        ).distinct()
+        out = bkeys.join(F.broadcast(hits), ["h", "h2", "len"], "left_anti")
+    else:
+        out = bkeys.join(ckeys, ["h", "h2", "len"], "left_anti")
+    return out.select("keep_id", "n_dups")

@@ -557,3 +557,62 @@ def lsh_candidate_pairs(ids_only: DataFrame, n_tables: int = 8,
     out = out.localCheckpoint(eager=True)
     tb.unpersist()
     return out
+
+
+def cosine_matches_vs_corpus(
+    batch: DataFrame, corpus: DataFrame, tau: float = 0.8
+) -> DataFrame:
+    """Batch vec_ids that have at least one corpus neighbor with cosine
+    >= tau — the match side of incremental embedding dedup (new data vs
+    an already-landed reference corpus).
+
+    Scale shape: the BATCH (contract: the small side, like
+    brute_force_topk's query set) is collected once and broadcast as a
+    row-normalized float64 matrix; every corpus Arrow batch then does ONE
+    (corpus_block x batch) matmul and emits only the matched batch ids —
+    the corpus is scanned once, never exchanged, and the only shuffled
+    rows are matched ids (<= |batch| after the map-side-combined
+    distinct). For batches too big to broadcast, union the frames and run
+    cosine_dup_pairs_lsh (linear candidates) instead — same composition
+    the self-dedup path uses.
+
+    Zero-norm stance matches cosine_dup_pairs: norms clamp to 1e-12, so
+    an all-zero vector scores 0 against everything and never matches."""
+    rows = batch.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm < 1e-12] = 1.0
+    bm = corpus.sparkSession.sparkContext.broadcast((m / nrm, ids))
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        qm, qids = bm.value
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            c = _emb_matrix(b.column("embedding"))
+            cn = np.linalg.norm(c, axis=1, keepdims=True)
+            cn[cn < 1e-12] = 1.0
+            hit = ((c / cn) @ qm.T >= tau).any(axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids[hit])], names=["vec_id"]
+            )
+
+    return (
+        corpus.select("vec_id", "embedding")
+        .mapInArrow(kern, schema="vec_id bigint")
+        .distinct()
+    )
+
+
+def incremental_cosine_dedup(
+    batch: DataFrame, corpus: DataFrame, tau: float = 0.8
+) -> DataFrame:
+    """Surviving batch vec_ids after near-dup filtering against the landed
+    corpus: drop any batch vector with a corpus neighbor at cosine >= tau.
+    Integer-only output (ids), so the result is float-hash-safe."""
+    matched = cosine_matches_vs_corpus(batch, corpus, tau)
+    return (
+        batch.select("vec_id")
+        .join(F.broadcast(matched), "vec_id", "left_anti")
+    )

@@ -1129,6 +1129,54 @@ def dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_documents(spark, sf_dir))
 
 
+@q(
+    "dedup_incremental",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, '  ' || text || ' ' FROM documents
+      WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+    ),
+    bg AS (
+      SELECT {_NORM_SQL} AS t, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM batch GROUP BY 1
+    )
+    SELECT keep_id, n_dups FROM bg
+    WHERE t NOT IN (SELECT {_NORM_SQL} FROM corpus)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Ingest-batch dedup against the landed corpus (the steady-state 100 TB
+    pattern: never re-dedup the corpus per batch). The test corpus has no
+    exact dup groups, so the batch is constructed to exercise every path:
+    fresh docs (doc_id % 5 = 0), whitespace-noised copies of corpus docs
+    (% 10 = 1 — normalize-equal, must be dropped), and intra-batch
+    duplicates (% 15 = 0 re-ids — must collapse to the smaller batch id).
+    Corpus is scanned once map-only (batch keys broadcast); see
+    operators/dedup.incremental_dedup."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.lit("  "), F.col("text"), F.lit(" ")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == 0))
+            .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+        )
+    )
+    return DD.incremental_dedup(batch, corpus)
+
+
 def _jaccard_pair_ctes() -> str:
     """CTE chain ending in ``jpairs(a, b, jaccard)`` — exact word-3-gram
     Jaccard near-dup pairs at tau=0.2 with the max_df=50 hot-shingle cap,
@@ -1332,6 +1380,42 @@ def dedup_embedding_cosine(spark, sf_dir):
     from .operators.similarity import cosine_dup_pairs
 
     return cosine_dup_pairs(_embeddings(spark, sf_dir), tau=0.35)
+
+
+@q(
+    "dedup_cosine_incremental",
+    """
+    WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, e, sqrt(list_inner_product(e, e)) AS nrm FROM n
+    ), b AS (SELECT * FROM s WHERE vec_id % 5 = 0),
+    c AS (SELECT * FROM s WHERE vec_id % 5 != 0)
+    SELECT b.vec_id FROM b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE list_inner_product(b.e, c.e) / (b.nrm * c.nrm) >= 0.35
+    )
+    """,
+)
+def dedup_cosine_incremental(spark, sf_dir):
+    """Incremental embedding dedup: new-batch vectors (vec_id % 5 = 0)
+    that survive near-dup filtering against the landed corpus (the rest)
+    at cos >= 0.35 — the ingest-time twin of `dedup_embedding_cosine`,
+    matching the text-side `dedup_incremental`. The batch matrix is
+    broadcast; the corpus is scanned ONCE map-only (one corpus-block x
+    batch matmul per Arrow batch, only matched ids ever shuffle) — see
+    operators/similarity.py:incremental_cosine_dedup. Integer-only
+    output keeps the gate hash float-free."""
+    from .operators.similarity import incremental_cosine_dedup
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    return incremental_cosine_dedup(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        emb.filter(F.col("vec_id") % 5 != 0),
+        tau=0.35,
+    )
 
 
 @q("dedup_lsh_candidates")  # hard oracle attached at end of module

@@ -329,3 +329,91 @@ def test_dedup_keep_list_end_to_end(spark, docs):
             assert r.keep == (comp[r.doc_id] == r.doc_id)
         else:
             assert bool(r.keep)
+
+
+def test_incremental_dedup_batch_vs_corpus(spark, docs):
+    """Planted structure: corpus = base docs; batch = 3 whitespace-noised
+    corpus copies (dropped), 4 fresh docs (kept), one fresh doc duplicated
+    intra-batch (collapses to the smaller batch id, n_dups=2)."""
+    corpus = docs
+    noised = (
+        corpus.orderBy("doc_id").limit(3)
+        .select((F.col("doc_id") + 500_000).alias("doc_id"),
+                F.concat(F.lit("   "), F.col("text"), F.lit("  ")).alias("text"))
+    )
+    fresh = spark.createDataFrame(
+        [(900_000 + i, f"totally fresh document number {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    intra = fresh.filter(F.col("doc_id") == 900_001).select(
+        (F.col("doc_id") + 50).alias("doc_id"), "text"
+    )
+    batch = noised.unionByName(fresh).unionByName(intra)
+
+    out = DD.incremental_dedup(
+        batch.select("doc_id", "text"), corpus.select("doc_id", "text")
+    ).toPandas().sort_values("keep_id").reset_index(drop=True)
+
+    # corpus copies gone, all 4 fresh keep_ids survive, intra-batch pair
+    # collapsed onto 900001 with n_dups=2
+    assert out.keep_id.tolist() == [900_000, 900_001, 900_002, 900_003]
+    assert out.set_index("keep_id").n_dups.to_dict() == {
+        900_000: 1, 900_001: 2, 900_002: 1, 900_003: 1,
+    }
+
+    # shuffle fallback (non-broadcastable backfill batch) agrees exactly
+    out2 = DD.incremental_dedup(
+        batch.select("doc_id", "text"), corpus.select("doc_id", "text"),
+        broadcast_batch=False,
+    ).toPandas().sort_values("keep_id").reset_index(drop=True)
+    assert out2.equals(out)
+
+
+def test_incremental_dedup_corpus_never_exchanged(spark, docs):
+    """Scale invariant of the broadcast path: the corpus subtree must reach
+    its (broadcast-)semi-join with ZERO Exchange operators above the scan —
+    total exchanged bytes are O(|batch|) however big the corpus is."""
+    batch = docs.limit(10).select((F.col("doc_id") + 700_000).alias("doc_id"), "text")
+    out = DD.incremental_dedup(batch, docs.select("doc_id", "text"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly the two planned broadcasts (batch keys into the semi-join,
+    # hit keys into the anti-join) and no hash exchange on the corpus side:
+    # the only hashpartitioning exchanges allowed are the batch groupBy's
+    # and the hits distinct's, both bounded by batch/hit cardinality
+    assert plan.count("BroadcastExchange") == 2, plan
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert semi and all("Broadcast" in l for l in semi), plan
+    assert anti and all("Broadcast" in l for l in anti), plan
+
+
+def test_incremental_cosine_dedup_vs_bruteforce(spark, emb_with_dups):
+    """Batch = the planted near-dups (+100000 ids, cos 0.92-0.99 to corpus
+    vectors 0..4) plus 3 genuinely-held-out corpus rows re-idded; corpus =
+    everything else. Survivors must equal the numpy brute-force answer,
+    and every planted near-dup must be dropped at tau=0.9."""
+    emb = emb_with_dups
+    batch = emb.filter(F.col("vec_id") >= 100000).unionByName(
+        emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8))
+        .withColumn("vec_id", F.col("vec_id") + 200000)
+    )
+    corpus = emb.filter(F.col("vec_id") < 100000)
+
+    got = sorted(
+        r.vec_id
+        for r in SIM.incremental_cosine_dedup(batch, corpus, tau=0.9).collect()
+    )
+
+    bp = batch.toPandas()
+    cp = corpus.toPandas()
+    bm = np.array(bp.embedding.tolist(), dtype=np.float64)
+    cm = np.array(cp.embedding.tolist(), dtype=np.float64)
+    bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+    cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+    matched = (bm @ cm.T >= 0.9).any(axis=1)
+    want = sorted(bp.vec_id.to_numpy()[~matched].tolist())
+    assert got == want
+    # the re-idded exact corpus copies (cos 1.0) are always dropped,
+    # the planted 0.92-0.99 near-dups are dropped at tau=0.9
+    assert all(v < 200000 or v >= 200003 for v in got)
+    assert not any(100000 <= v < 100005 for v in got)
