@@ -1,0 +1,153 @@
+"""Training-corpus preparation over the pre-tokenized table: GPT-style
+sequence packing (concat-and-chunk to a fixed context length) and the
+corpus vocabulary histogram.
+
+Both operate on the BASELINE.json input-hint shape
+``(doc_id string, tokens array<int>, n_tok int, source string)`` — the
+step that turns a curated corpus into fixed-length training sequences,
+and the vocab-frequency profile used for tokenizer QA / coverage checks.
+
+Scale design (100 TB):
+
+``pack_sequences`` is a permutation of the whole corpus, so two
+token-volume exchanges are inherent and exactly two happen: one to place
+each doc at its global token offset (a window keyed by an order-preserving
+``doc_id`` prefix — lexicographic prefix groups are contiguous ranges of
+the global order, so per-group prefix sums + a tiny cumulative base table
+compose to an exact global prefix sum with NO global sort and NO
+single-partition pass over corpus rows), and one to assemble output
+sequences (groupBy seq_id).  The cross-group base offsets live in an
+aggregated n_groups-row frame (broadcast back); piece slicing and sequence
+assembly are pure JVM expressions (explode + slice, sort_array + flatten)
+— no Python worker touches the token stream.
+
+``token_histogram`` pre-reduces each Arrow batch to vocab-sized partial
+rows (np.bincount) before the only exchange, so shuffle volume is
+O(n_batches × vocab), independent of corpus token count.  Per-doc distinct
+counts are safe to sum because each doc's token array is one row, wholly
+inside one batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def pack_sequences(toks: DataFrame, seq_len: int, id_prefix_len: int = 9) -> DataFrame:
+    """Concatenate all docs' tokens in ``doc_id`` order and chunk the stream
+    into back-to-back sequences of exactly ``seq_len`` tokens (documents may
+    span sequence boundaries; the final partial sequence is dropped) — the
+    standard pretraining pack.  Returns
+    ``(seq_id long, tokens array<int>, n_docs long)`` where ``n_docs`` is
+    the number of documents contributing to the sequence.
+
+    ``id_prefix_len`` sets the placement-window group key
+    ``substring(doc_id, 1, id_prefix_len)``: any prefix of the sort key is
+    order-monotone, so groups are contiguous runs of the global doc order
+    and per-group prefix sums + cumulative group bases equal the global
+    prefix sum.  Pick it so groups hold ~10^4–10^6 docs: the per-group
+    window sort is the parallel unit, and the group-base table (one row
+    per group) must stay broadcastable.
+    """
+    docs = toks.filter(F.col("n_tok") > 0).withColumn(
+        "grp", F.substring("doc_id", 1, id_prefix_len)
+    )
+    # within-group token offset: exclusive running sum in doc_id order
+    w_in = W.partitionBy("grp").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    # cross-group bases: n_groups rows — the one intentionally tiny
+    # single-partition window in this operator (aggregated frame, not corpus)
+    totals = docs.groupBy("grp").agg(F.sum("n_tok").alias("g_tok"))
+    w_g = W.orderBy("grp").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.select(
+        "grp", F.coalesce(F.sum("g_tok").over(w_g), F.lit(0)).cast("long").alias("g_base")
+    )
+    placed = (
+        docs.withColumn(
+            "off_in_grp", F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)).cast("long")
+        )
+        .join(F.broadcast(bases), "grp")
+        .withColumn("off", F.col("g_base") + F.col("off_in_grp"))
+    )
+    lit_l = F.lit(seq_len).cast("long")
+    end = F.col("off") + F.col("n_tok")  # exclusive global end of this doc
+    pieces = (
+        placed.withColumn(
+            "s",
+            F.explode(F.sequence(F.floor(F.col("off") / lit_l), F.floor((end - 1) / lit_l))),
+        )
+        .withColumn("p_start", F.greatest(F.col("s") * lit_l, F.col("off")))
+        .withColumn("p_end", F.least((F.col("s") + 1) * lit_l, end))
+        .select(
+            F.col("s").alias("seq_id"),
+            (F.col("p_start") - F.col("s") * lit_l).alias("sp"),
+            F.slice(
+                "tokens",
+                (F.col("p_start") - F.col("off") + 1).cast("int"),
+                (F.col("p_end") - F.col("p_start")).cast("int"),
+            ).alias("piece"),
+        )
+    )
+    # assemble: distinct docs have disjoint position ranges within a
+    # sequence, so sorting the (sp, piece) structs by sp alone is total
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.expr(
+                "flatten(transform(sort_array(collect_list(struct(sp, piece))),"
+                " x -> x.piece))"
+            ).alias("tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.size("tokens") == seq_len)
+    )
+
+
+def token_histogram(toks: DataFrame, top_k: int = 200) -> DataFrame:
+    """Top-``top_k`` token ids by corpus frequency:
+    ``(token long, n_occ long, n_docs long)`` ordered by
+    (n_occ desc, token asc) — a total order, so the cutoff is deterministic.
+    ``n_docs`` is the number of distinct documents containing the token.
+    """
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tok = b.column("tokens")
+            if isinstance(tok, pa.ChunkedArray):
+                tok = tok.combine_chunks()
+            flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(flat) == 0:
+                continue
+            offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            lo = int(flat.min())
+            width = int(flat.max()) - lo + 1
+            shifted = flat - lo
+            occ = np.bincount(shifted, minlength=width)
+            lengths = np.diff(offs)
+            doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+            # distinct (doc, token) pairs -> per-token doc counts; exact
+            # because a doc's whole array sits in this batch row
+            pairs = np.unique(doc_idx * width + shifted)
+            docs = np.bincount(pairs % width, minlength=width)
+            nz = np.nonzero(occ)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz + lo, type=pa.int64()),
+                    pa.array(occ[nz], type=pa.int64()),
+                    pa.array(docs[nz], type=pa.int64()),
+                ],
+                names=["token", "n_occ", "n_docs"],
+            )
+
+    part = toks.mapInArrow(kern, schema="token long, n_occ long, n_docs long")
+    return (
+        part.groupBy("token")
+        .agg(F.sum("n_occ").alias("n_occ"), F.sum("n_docs").alias("n_docs"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(top_k)
+    )

@@ -2164,6 +2164,95 @@ def tokens_compression_metrics(spark, sf_dir):
     )
 
 
+_PACK_L = 256  # context length for the packing gate entry
+
+
+def _pack_sequences_oracle() -> str:
+    """Oracle: regenerate the corpus, place every token at its global
+    offset with a window prefix-sum over the docs CTE, chunk by integer
+    division, and recompute the per-sequence positional checksums.  The
+    checksum weights are ORDER-SENSITIVE ((sp+1) and (sp+1)^2), so a
+    packing that permutes, drops, or duplicates any token inside any
+    sequence fails the gate; terms are bounded by 257^2 * 20001 ≈ 1.3e9
+    times 256 terms — exact BIGINT arithmetic on both engines."""
+    return f"""
+    WITH {_tokens_points_cte()},
+    offs AS (
+      SELECT doc_id,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM docs
+    ),
+    gp AS (
+      SELECT CAST((o.off + p.pos) // {_PACK_L} AS BIGINT) AS seq_id,
+             CAST((o.off + p.pos) % {_PACK_L} AS BIGINT) AS sp,
+             p.token, p.doc_id
+      FROM pts p JOIN offs o USING (doc_id)
+    )
+    SELECT seq_id,
+           count(DISTINCT doc_id) AS n_docs,
+           arg_min(token, sp) AS first_tok,
+           arg_max(token, sp) AS last_tok,
+           CAST(sum((sp + 1) * (token + 10001)) AS BIGINT) AS cksum1,
+           CAST(sum((sp + 1) * (sp + 1) * (token + 10001)) AS BIGINT) AS cksum2
+    FROM gp
+    GROUP BY seq_id
+    HAVING count(*) = {_PACK_L}
+    """
+
+
+@q("pack_sequences", _pack_sequences_oracle())
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing of the pre-tokenized
+    corpus into ctx={_PACK_L}-token training sequences (docs may span
+    sequence boundaries; final partial dropped).  The gate row per sequence
+    carries order-sensitive positional checksums instead of the raw array
+    (the gate's value compare stringifies nested columns engine-specifically),
+    plus first/last token and the contributing-doc count."""
+    from .operators.packing import pack_sequences
+
+    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
+    seqs = pack_sequences(toks, _PACK_L)
+    wt = F.transform(
+        "tokens", lambda x, i: (i + 1).cast("long") * (x.cast("long") + 10001)
+    )
+    wt2 = F.transform(
+        "tokens",
+        lambda x, i: (i + 1).cast("long") * (i + 1).cast("long")
+        * (x.cast("long") + 10001),
+    )
+    zero = F.lit(0).cast("long")
+    return seqs.select(
+        "seq_id",
+        "n_docs",
+        F.element_at("tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("tokens", _PACK_L).cast("long").alias("last_tok"),
+        F.aggregate(wt, zero, lambda a, x: a + x).alias("cksum1"),
+        F.aggregate(wt2, zero, lambda a, x: a + x).alias("cksum2"),
+    )
+
+
+@q(
+    "token_histogram",
+    f"""
+    WITH {_tokens_points_cte()}
+    SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+    FROM pts GROUP BY token
+    ORDER BY n_occ DESC, token LIMIT 200
+    """,
+)
+def token_histogram_q(spark, sf_dir):
+    """Corpus vocabulary profile: top-200 token ids by frequency with
+    per-token document counts (tokenizer QA / coverage check).  Each Arrow
+    batch pre-reduces to vocab-sized partials (np.bincount) before the one
+    exchange; (n_occ desc, token asc) is a total order, so the top-k cutoff
+    is deterministic on both engines."""
+    from .operators.packing import token_histogram
+
+    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
+    return token_histogram(toks, 200)
+
+
 # -- remaining operator surface: HAVING, UDAF, aligned scan, variation(delta),
 #    TS_2DIFF codec ------------------------------------------------------------
 

@@ -1,0 +1,117 @@
+"""Sequence packing (concat-and-chunk) and token histogram oracles.
+
+Reference semantics: concatenate every doc's tokens in doc_id order into
+one stream, cut it into back-to-back seq_len windows, drop the final
+partial window — the standard pretraining pack.  The numpy reference here
+does exactly that on the collected corpus; the operator must match it for
+any partitioning of the input.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sorting_compressed_time_series_spark.operators.packing import (
+    pack_sequences,
+    token_histogram,
+)
+
+L = 16
+
+
+def _toks_df(spark, rows):
+    return spark.createDataFrame(
+        [(d, t, len(t), s) for d, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def _rows(seed=7, n_docs=40):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_docs):
+        # length mix exercises: shorter than L, exactly L, spanning many seqs
+        n = int(rng.choice([0, 3, L, L + 1, 5 * L + 7]))
+        toks = rng.integers(-100, 100, size=n).astype(int).tolist()
+        rows.append((f"doc{i:06d}", toks, "web" if i % 3 else "code"))
+    return rows
+
+
+def _reference_pack(rows, seq_len):
+    stream, doc_of = [], []
+    for d, toks, _s in sorted(rows):
+        stream.extend(toks)
+        doc_of.extend([d] * len(toks))
+    out = {}
+    for s in range(len(stream) // seq_len):
+        seg = stream[s * seq_len : (s + 1) * seq_len]
+        out[s] = (seg, len(set(doc_of[s * seq_len : (s + 1) * seq_len])))
+    return out
+
+
+def test_pack_matches_numpy_reference(spark):
+    rows = _rows()
+    got = {
+        r["seq_id"]: (list(r["tokens"]), r["n_docs"])
+        for r in pack_sequences(_toks_df(spark, rows), L).collect()
+    }
+    want = _reference_pack(rows, L)
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0], f"seq {s} token mismatch"
+        assert got[s][1] == want[s][1], f"seq {s} n_docs mismatch"
+
+
+def test_pack_partition_invariance(spark):
+    rows = _rows(seed=11)
+    df = _toks_df(spark, rows)
+    a = pack_sequences(df.repartition(7), L).collect()
+    b = pack_sequences(df.coalesce(1), L).collect()
+    ka = {r["seq_id"]: list(r["tokens"]) for r in a}
+    kb = {r["seq_id"]: list(r["tokens"]) for r in b}
+    assert ka == kb
+
+
+def test_pack_drops_final_partial(spark):
+    rows = [("doc0", list(range(L + 3)), "web")]
+    out = pack_sequences(_toks_df(spark, rows), L).collect()
+    assert len(out) == 1
+    assert list(out[0]["tokens"]) == list(range(L))
+
+
+def test_pack_prefix_grouping_exact(spark):
+    """id_prefix_len shorter than the full id: multiple prefix groups, the
+    cross-group base offsets must stitch the stream exactly."""
+    rows = _rows(seed=13, n_docs=60)
+    got = {
+        r["seq_id"]: (list(r["tokens"]), r["n_docs"])
+        for r in pack_sequences(_toks_df(spark, rows), L, id_prefix_len=8).collect()
+    }  # 'doc0000xx' -> groups of 10 docs
+    want = _reference_pack(rows, L)
+    assert got == {s: (t, n) for s, (t, n) in want.items()}
+
+
+def test_pack_broadcasts_group_bases(spark):
+    plan = pack_sequences(
+        _toks_df(spark, _rows()), L
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_histogram_matches_counter(spark):
+    rows = _rows(seed=23)
+    occ, docs = Counter(), Counter()
+    for d, toks, _s in rows:
+        occ.update(toks)
+        docs.update(set(toks))
+    got = token_histogram(_toks_df(spark, rows).repartition(5), top_k=50).collect()
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [(r["token"], r["n_occ"]) for r in got] == want
+    for r in got:
+        assert r["n_docs"] == docs[r["token"]], f"token {r['token']} doc count"
