@@ -654,6 +654,15 @@ def main() -> None:
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         from sorting_compressed_time_series_spark.queries import SPARK_QUERIES
 
+        # comma-separated subset filter (e.g. re-floor newly added queries
+        # without paying the full 10-min sweep); floors update min-only, so
+        # a partial sweep can never corrupt the other entries' bands
+        only = {
+            s for s in os.environ.get("BENCH_ONLY_QUERIES", "").split(",") if s
+        }
+        if only:
+            SPARK_QUERIES = {n: f for n, f in SPARK_QUERIES.items() if n in only}
+
         spark = _fresh_spark(cpus)
         # fork python workers / init Arrow once: the first query otherwise
         # absorbs ~2-6 s of session cold-start (observed: roundtrip_bytealigned

@@ -107,47 +107,61 @@ def pack_sequences(toks: DataFrame, seq_len: int, id_prefix_len: int = 9) -> Dat
     )
 
 
+HIST_PARTIAL_SCHEMA = "token long, n_occ long, n_docs long"
+
+
+def histogram_partials_kernel(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """Arrow-batch kernel reducing corpus batches to vocab-sized partial
+    histogram rows (token, n_occ, n_docs). Reused by ``token_histogram``
+    (over an arbitrary DataFrame) and the registry's fused synthetic-source
+    path (sources/synth.generate_tokens_mapped)."""
+    for b in batches:
+        tok = b.column("tokens")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            continue
+        offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lo = int(flat.min())
+        width = int(flat.max()) - lo + 1
+        shifted = flat - lo
+        occ = np.bincount(shifted, minlength=width)
+        lengths = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        # distinct (doc, token) pairs -> per-token doc counts; exact
+        # because a doc's whole array sits in this batch row
+        pairs = np.unique(doc_idx * width + shifted)
+        docs = np.bincount(pairs % width, minlength=width)
+        nz = np.nonzero(occ)[0]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(nz + lo, type=pa.int64()),
+                pa.array(occ[nz], type=pa.int64()),
+                pa.array(docs[nz], type=pa.int64()),
+            ],
+            names=["token", "n_occ", "n_docs"],
+        )
+
+
+def histogram_topk(partials: DataFrame, top_k: int) -> DataFrame:
+    """Reduce partial histogram rows to the deterministic top-k profile."""
+    return (
+        partials.groupBy("token")
+        .agg(F.sum("n_occ").alias("n_occ"), F.sum("n_docs").alias("n_docs"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
 def token_histogram(toks: DataFrame, top_k: int = 200) -> DataFrame:
     """Top-``top_k`` token ids by corpus frequency:
     ``(token long, n_occ long, n_docs long)`` ordered by
     (n_occ desc, token asc) — a total order, so the cutoff is deterministic.
     ``n_docs`` is the number of distinct documents containing the token.
     """
-
-    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            tok = b.column("tokens")
-            if isinstance(tok, pa.ChunkedArray):
-                tok = tok.combine_chunks()
-            flat = tok.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(flat) == 0:
-                continue
-            offs = tok.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-            offs = offs - offs[0]
-            lo = int(flat.min())
-            width = int(flat.max()) - lo + 1
-            shifted = flat - lo
-            occ = np.bincount(shifted, minlength=width)
-            lengths = np.diff(offs)
-            doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-            # distinct (doc, token) pairs -> per-token doc counts; exact
-            # because a doc's whole array sits in this batch row
-            pairs = np.unique(doc_idx * width + shifted)
-            docs = np.bincount(pairs % width, minlength=width)
-            nz = np.nonzero(occ)[0]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(nz + lo, type=pa.int64()),
-                    pa.array(occ[nz], type=pa.int64()),
-                    pa.array(docs[nz], type=pa.int64()),
-                ],
-                names=["token", "n_occ", "n_docs"],
-            )
-
-    part = toks.mapInArrow(kern, schema="token long, n_occ long, n_docs long")
-    return (
-        part.groupBy("token")
-        .agg(F.sum("n_occ").alias("n_occ"), F.sum("n_docs").alias("n_docs"))
-        .orderBy(F.desc("n_occ"), F.asc("token"))
-        .limit(top_k)
-    )
+    part = toks.mapInArrow(histogram_partials_kernel, schema=HIST_PARTIAL_SCHEMA)
+    return histogram_topk(part, top_k)

@@ -2246,11 +2246,22 @@ def token_histogram_q(spark, sf_dir):
     per-token document counts (tokenizer QA / coverage check).  Each Arrow
     batch pre-reduces to vocab-sized partials (np.bincount) before the one
     exchange; (n_occ desc, token asc) is a total order, so the top-k cutoff
-    is deterministic on both engines."""
-    from .operators.packing import token_histogram
+    is deterministic on both engines.  The partial kernel runs FUSED with
+    the synthetic generator in one Python worker (generate_tokens_mapped):
+    two chained same-stage mapInArrow runners cost ~15 s warm at sf0.1
+    where the fused plan takes 1.2 s — the hop doesn't exist at 100 TB,
+    where the source is a parquet scan feeding token_histogram directly."""
+    from .operators.packing import (
+        HIST_PARTIAL_SCHEMA,
+        histogram_partials_kernel,
+        histogram_topk,
+    )
+    from .sources.synth import generate_tokens_mapped
 
-    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
-    return token_histogram(toks, 200)
+    part = generate_tokens_mapped(
+        spark, _tokens_docs(sf_dir), histogram_partials_kernel, HIST_PARTIAL_SCHEMA
+    )
+    return histogram_topk(part, 200)
 
 
 # -- remaining operator surface: HAVING, UDAF, aligned scan, variation(delta),

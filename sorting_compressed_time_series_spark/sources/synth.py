@@ -77,3 +77,40 @@ def generate_tokens_df(spark: SparkSession, n_docs: int, seed: int = 42,
 
     base = spark.range(start, start + n_docs)
     return base.mapInArrow(gen, schema="doc_id string, tokens array<int>, n_tok int, source string")
+
+
+def generate_tokens_mapped(
+    spark: SparkSession,
+    n_docs: int,
+    kernel,
+    schema: str,
+    seed: int = 42,
+    start: int = 0,
+) -> DataFrame:
+    """Generate the corpus AND apply an Arrow-batch ``kernel`` inside the
+    same Python worker (one ``mapInArrow``).
+
+    Why this exists: chaining two ``mapInArrow`` calls with no exchange
+    between them puts TWO Python runners in the SAME Spark stage, and the
+    JVM relay between the workers dominates the task (measured: the fused
+    token histogram runs the identical kernels in 1.2 s where the chained
+    plan took ~15 s warm at the same input). At 100 TB the input is a
+    parquet/Iceberg scan, so this hop never exists in production — the
+    fusion applies only to the synthetic-source path, where the generator
+    would otherwise be that upstream Python stage.
+
+    ``kernel`` is an ``Iterator[RecordBatch] -> Iterator[RecordBatch]``
+    over generated corpus batches (ARROW_SCHEMA shape), exactly as it
+    would receive from ``DataFrame.mapInArrow`` on the generated table.
+    """
+
+    def fused(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        def gen() -> Iterator[pa.RecordBatch]:
+            for batch in it:
+                ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+                yield _gen_batch(ids, seed)
+
+        yield from kernel(gen())
+
+    base = spark.range(start, start + n_docs)
+    return base.mapInArrow(fused, schema=schema)
