@@ -107,6 +107,98 @@ def pack_sequences(toks: DataFrame, seq_len: int, id_prefix_len: int = 9) -> Dat
     )
 
 
+def pack_greedy_nosplit(
+    toks: DataFrame, seq_len: int, id_prefix_len: int = 10
+) -> DataFrame:
+    """Greedy NO-SPLIT packing: walk docs in ``doc_id`` order and append
+    each whole document to the current sequence, opening a new sequence
+    when it would overflow ``seq_len`` — the SFT/instruction-tuning pack,
+    where an example must never span a sequence boundary (contrast
+    ``pack_sequences``, the pretraining concat-and-chunk that splits).
+    A document longer than ``seq_len`` occupies a sequence alone
+    (``oversize = true``); the rule is uniform: a new sequence opens iff
+    the running fill is non-zero and would exceed ``seq_len``.
+
+    Packing state is a sequential carry, so — like every production
+    packer at scale — the unit of sequentiality is the SHARD: docs are
+    grouped by the order-preserving ``substring(doc_id, 1,
+    id_prefix_len)`` prefix and each group packs independently (no fill
+    carries across groups). Groups collect and sort JVM-side
+    (``sort_array(collect_list(struct))``, same pattern as
+    variation_windows_delta); one Arrow kernel replays the fill for every
+    complete group in a batch. The fill depends only on ``n_tok`` — the
+    token arrays are never collected, so the shuffle carries ~20 bytes
+    per doc regardless of document size (on a parquet source, column
+    pruning keeps them out of the scan too).
+
+    Returns one row per packed sequence:
+    ``(grp, seq_in_grp, n_docs, tok_sum, pad, first_doc, last_doc,
+    oversize)`` where ``pad = seq_len - tok_sum`` is the padding waste
+    (negative only for oversize singletons).
+    """
+    d = toks.filter(F.col("n_tok") > 0).select(
+        F.substring("doc_id", 1, id_prefix_len).alias("grp"),
+        F.col("doc_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+    collected = d.groupBy("grp").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n_tok"))).alias("ds")
+    )
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            grps = b.column("grp").to_pylist()
+            ds = b.column("ds")
+            if isinstance(ds, pa.ChunkedArray):
+                ds = ds.combine_chunks()
+            og, os_, ond, ots, ofd, old_, oov = [], [], [], [], [], [], []
+            for gi in range(b.num_rows):
+                row = ds[gi].values
+                ids = row.field("doc_id").to_pylist()
+                ns = row.field("n_tok").to_numpy(zero_copy_only=False)
+                cur = 0
+                seq = 0
+                # per-seq accumulators
+                sdocs, ssum, sfirst = 0, 0, ids[0] if ids else None
+                for i in range(len(ns)):
+                    n = int(ns[i])
+                    if cur > 0 and cur + n > seq_len:
+                        og.append(grps[gi]); os_.append(seq); ond.append(sdocs)
+                        ots.append(ssum); ofd.append(sfirst); old_.append(ids[i - 1])
+                        oov.append(ssum > seq_len)
+                        seq += 1
+                        cur, sdocs, ssum, sfirst = 0, 0, 0, ids[i]
+                    cur += n
+                    sdocs += 1
+                    ssum += n
+                if sdocs:
+                    og.append(grps[gi]); os_.append(seq); ond.append(sdocs)
+                    ots.append(ssum); ofd.append(sfirst); old_.append(ids[-1])
+                    oov.append(ssum > seq_len)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(og, type=pa.string()),
+                    pa.array(os_, type=pa.int64()),
+                    pa.array(ond, type=pa.int64()),
+                    pa.array(ots, type=pa.int64()),
+                    pa.array([seq_len - t for t in ots], type=pa.int64()),
+                    pa.array(ofd, type=pa.string()),
+                    pa.array(old_, type=pa.string()),
+                    pa.array(oov, type=pa.bool_()),
+                ],
+                names=["grp", "seq_in_grp", "n_docs", "tok_sum", "pad",
+                       "first_doc", "last_doc", "oversize"],
+            )
+
+    return collected.mapInArrow(
+        kern,
+        schema=("grp string, seq_in_grp long, n_docs long, tok_sum long, "
+                "pad long, first_doc string, last_doc string, oversize boolean"),
+    )
+
+
 HIST_PARTIAL_SCHEMA = "token long, n_occ long, n_docs long"
 
 

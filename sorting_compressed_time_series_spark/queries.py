@@ -2232,6 +2232,56 @@ def pack_sequences_q(spark, sf_dir):
     )
 
 
+def _pack_nosplit_oracle() -> str:
+    """Oracle: regenerate doc lengths, replay the greedy no-split fill as
+    a recursive CTE carrying (cur, seq) through each group's doc order —
+    the same anchored-sequential pattern as the variation-window oracle.
+    ``n_tok`` is always ≥ 16, so the kernel's ``cur > 0`` guard is vacuous
+    here and the recursion's rollover condition is exactly the kernel's."""
+    return f"""
+    WITH RECURSIVE {_tokens_points_cte()},
+    pd AS (
+      SELECT substring(doc_id, 1, 10) AS grp, doc_id,
+             CAST(n_tok AS BIGINT) AS n_tok,
+             row_number() OVER (PARTITION BY substring(doc_id, 1, 10)
+                                ORDER BY doc_id) AS rn
+      FROM docs
+    ),
+    fill(grp, rn, doc_id, n_tok, cur, seq) AS (
+      SELECT grp, rn, doc_id, n_tok, n_tok, CAST(0 AS BIGINT)
+      FROM pd WHERE rn = 1
+      UNION ALL
+      SELECT p.grp, p.rn, p.doc_id, p.n_tok,
+             CASE WHEN f.cur + p.n_tok > {_PACK_L} THEN p.n_tok
+                  ELSE f.cur + p.n_tok END,
+             CASE WHEN f.cur + p.n_tok > {_PACK_L} THEN f.seq + 1
+                  ELSE f.seq END
+      FROM fill f JOIN pd p ON p.grp = f.grp AND p.rn = f.rn + 1
+    )
+    SELECT grp, seq AS seq_in_grp,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+           CAST({_PACK_L} - sum(n_tok) AS BIGINT) AS pad,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           sum(n_tok) > {_PACK_L} AS oversize
+    FROM fill GROUP BY grp, seq
+    """
+
+
+@q("pack_greedy_nosplit", _pack_nosplit_oracle())
+def pack_greedy_nosplit_q(spark, sf_dir):
+    """SFT-style NO-SPLIT packing into ctx={_PACK_L}: whole documents only,
+    new sequence on overflow, oversize docs isolated — the complement of
+    the splitting `pack_sequences`. Sequentiality is confined to the
+    doc_id-prefix shard (the production unit); the fill reads only
+    (doc_id, n_tok), so token arrays never shuffle. Oracle replays the
+    greedy fill with a recursive CTE."""
+    from .operators.packing import pack_greedy_nosplit
+
+    toks = _gen_tokens(spark, _tokens_docs(sf_dir))
+    return pack_greedy_nosplit(toks, _PACK_L)
+
+
 @q(
     "token_histogram",
     f"""

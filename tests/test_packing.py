@@ -115,3 +115,72 @@ def test_token_histogram_matches_counter(spark):
     assert [(r["token"], r["n_occ"]) for r in got] == want
     for r in got:
         assert r["n_docs"] == docs[r["token"]], f"token {r['token']} doc count"
+
+
+def _reference_nosplit(rows, seq_len, prefix_len):
+    """Plain-python greedy no-split fill, grouped by doc_id prefix."""
+    out = {}
+    by_grp = {}
+    for d, toks, _s in sorted(rows):
+        if len(toks) == 0:
+            continue
+        by_grp.setdefault(d[:prefix_len], []).append((d, len(toks)))
+    for grp, docs in by_grp.items():
+        cur, seq = 0, 0
+        for d, n in docs:
+            if cur > 0 and cur + n > seq_len:
+                seq += 1
+                cur = 0
+            cur += n
+            key = (grp, seq)
+            nd, ts, fd, _ld = out.get(key, (0, 0, d, d))
+            out[key] = (nd + 1, ts + n, fd, d)
+    return {
+        k: (nd, ts, seq_len - ts, fd, ld, ts > seq_len)
+        for k, (nd, ts, fd, ld) in out.items()
+    }
+
+
+def test_pack_nosplit_matches_reference(spark):
+    from sorting_compressed_time_series_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    rows = _rows(seed=31, n_docs=60)  # lengths 0/3/L/L+1/5L+7: oversize + zero
+    got = {
+        (r["grp"], r["seq_in_grp"]): (
+            r["n_docs"], r["tok_sum"], r["pad"],
+            r["first_doc"], r["last_doc"], r["oversize"],
+        )
+        for r in pack_greedy_nosplit(
+            _toks_df(spark, rows).repartition(7), L, id_prefix_len=8
+        ).collect()
+    }
+    assert got == _reference_nosplit(rows, L, 8)
+    # no multi-doc sequence may exceed seq_len; oversize iff singleton > L
+    for (_g, _s), (nd, ts, _p, _f, _l, ov) in got.items():
+        assert ov == (ts > L)
+        if nd > 1:
+            assert ts <= L
+
+
+def test_pack_nosplit_exact_fit_and_oversize_edges(spark):
+    from sorting_compressed_time_series_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    rows = [
+        ("a00", [1] * 10, "web"),   # 10
+        ("a01", [1] * 6, "web"),    # 10+6 = 16 == L: exact fit, same seq
+        ("a02", [1] * 1, "web"),    # overflow -> seq 1
+        ("a03", [1] * (L + 5), "web"),  # oversize -> rolls to seq 2, alone
+        ("a04", [1] * 2, "web"),    # after oversize -> seq 3
+    ]
+    out = sorted(
+        (r["seq_in_grp"], r["n_docs"], r["tok_sum"], r["oversize"])
+        for r in pack_greedy_nosplit(
+            _toks_df(spark, rows), L, id_prefix_len=1
+        ).collect()
+    )
+    assert out == [(0, 2, 16, False), (1, 1, 1, False),
+                   (2, 1, L + 5, True), (3, 1, 2, False)]
