@@ -3,10 +3,10 @@
 ``entry``   — flagship: tokens → seriesize → flush (compressed-domain
               sort + encode) → tier rollup cascade, on sf0.001-scale input.
 ``queries`` — every implemented operator from SURVEY.md §2 plus the
-              training-data curation family (63 entries; `time_joins` and
+              training-data curation family (64 entries; `time_joins` and
               `gapfill_fill_modes` are tagged unions of 3 variants each,
               so the operator count is higher).
-``oracle_sql`` — exact DuckDB twins for ALL 63 entries (incl. the
+``oracle_sql`` — exact DuckDB twins for ALL 64 entries (incl. the
               anchored variation window via recursive CTE, MinHash/SimHash
               on md5-portable hashes, the tokens pipeline via a
               splitmix64-in-SQL corpus regeneration, the compression-

@@ -490,3 +490,50 @@ def incremental_dedup(
     else:
         out = bkeys.join(ckeys, ["h", "h2", "len"], "left_anti")
     return out.select("keep_id", "n_dups")
+
+
+def substring_dup_stats(docs: DataFrame, n: int = 5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-duplication signal: per document, the fraction of
+    its word ``n``-gram POSITIONS whose n-gram occurs more than once in
+    the whole corpus — the classic intra-corpus repeated-substring measure
+    used to find and strip boilerplate/templated spans before training
+    (cross-document, unlike the intra-doc `textstats.repetition_signals`,
+    and against the corpus itself, unlike `curation.decontaminate_ngram`'s
+    external eval set). Returns
+    ``(doc_id, n_grams, n_dup_grams, dup_frac)`` for every doc with at
+    least ``n`` words; a high ``dup_frac`` marks a doc that is mostly
+    duplicated text even when no single whole-doc near-dup pair exists.
+
+    Scale shape: per-position grams (multiplicity preserved — the same
+    zip_with chain as `word_shingles`, minus the distinct) are hashed to
+    64 bits map-side, so both exchanges — the corpus-frequency groupBy and
+    the count-back join — carry fixed-width rows, never gram text. A hash
+    collision can only mark one position duplicated (expected colliding
+    gram pairs ~u²/2⁶⁵ — at 10¹² grams, ~30 false positions corpus-wide,
+    each shifting one doc's dup_frac by 1/n_grams). The duplicated-gram
+    side of the join is pre-filtered to freq>1, which is also the natural
+    broadcast candidate when boilerplate is rare."""
+    d = normalized(docs).withColumn("w", F.split("norm_text", " "))
+    acc = "w"
+    for k in range(1, n):
+        acc = (f"zip_with({acc}, slice(w, {k + 1}, greatest(size(w)-{k}, 0)), "
+               f"(a, b) -> concat(a, ' ', b))")
+    grams = d.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"slice({acc}, 1, greatest(size(w)-{n - 1}, 0))")).alias("gram"),
+    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    )
+    per_doc = (
+        grams.join(dup_h.select("h", F.lit(1).alias("is_dup")), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+    )
+    return per_doc.withColumn(
+        "dup_frac", F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+    )

@@ -1177,6 +1177,42 @@ def dedup_incremental(spark, sf_dir):
     return DD.incremental_dedup(batch, corpus)
 
 
+@q(
+    "dedup_substring_stats",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4])) AS gram
+      FROM w
+    ),
+    cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_frac
+    FROM g JOIN cnt c USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def dedup_substring_stats(spark, sf_dir):
+    """Exact substring-duplication signal (cross-document, intra-corpus):
+    per doc, the fraction of its word-5-gram positions whose 5-gram occurs
+    more than once in the corpus — the repeated-substring measure used to
+    strip boilerplate before training. Position multiplicity is preserved
+    (unlike the distinct shingles of the Jaccard family); grams hash to 64
+    bits map-side so both exchanges carry fixed-width rows. The oracle
+    recomputes corpus frequencies on the exact gram strings, so a hash
+    collision in the engine would fail the gate."""
+    return DD.substring_dup_stats(_documents(spark, sf_dir), n=5)
+
+
 def _jaccard_pair_ctes() -> str:
     """CTE chain ending in ``jpairs(a, b, jaccard)`` — exact word-3-gram
     Jaccard near-dup pairs at tau=0.2 with the max_df=50 hot-shingle cap,

@@ -417,3 +417,48 @@ def test_incremental_cosine_dedup_vs_bruteforce(spark, emb_with_dups):
     # the planted 0.92-0.99 near-dups are dropped at tau=0.9
     assert all(v < 200000 or v >= 200003 for v in got)
     assert not any(100000 <= v < 100005 for v in got)
+
+
+def test_substring_dup_stats_planted(spark):
+    """Hand-computable corpus: shared 5-gram spans across docs mark exactly
+    the overlapping positions; a unique doc scores 0; short docs (<5 words)
+    emit no row."""
+    boiler = "please subscribe to our newsletter today"          # 6 words
+    rows = [
+        ("d1", f"alpha beta gamma delta {boiler}"),              # 10 words
+        ("d2", f"one two three four five six {boiler}"),         # 12 words
+        ("d3", "completely unique words nowhere else repeated"), # 6 words
+        ("d4", "tiny doc"),                                      # 2 words -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in DD.substring_dup_stats(df, n=5).collect()}
+    # the 6-word boilerplate contributes two shared 5-grams per doc
+    # (the two grams fully inside the boiler span; straddling grams
+    # differ between docs)
+    assert got["d1"] == (6, 2)
+    assert got["d2"] == (8, 2)
+    assert got["d3"] == (2, 0)
+    assert "d4" not in got
+    fr = {r["doc_id"]: r["dup_frac"]
+          for r in DD.substring_dup_stats(df, n=5).collect()}
+    assert fr["d1"] == round(2 / 6, 6) and fr["d3"] == 0.0
+
+
+def test_substring_dup_stats_multiplicity_and_plan(spark):
+    """Intra-doc repetition counts every position (multiset semantics),
+    and no exchange carries gram strings (hash-keyed shuffles only)."""
+    rep = "a b c d e " * 3                      # 15 words: 'a b c d e' x3
+    df = spark.createDataFrame(
+        [("r1", rep.strip()), ("u1", "v w x y z")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in DD.substring_dup_stats(df, n=5).collect()}
+    # every 5-gram of the periodic doc recurs (period 5 < doc len):
+    # 11 positions, all duplicated (each gram appears 2-3 times)
+    assert got["r1"] == (11, 11)
+    assert got["u1"] == (1, 0)
+    plan = DD.substring_dup_stats(df, n=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "xxhash64" in plan
