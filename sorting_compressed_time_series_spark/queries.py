@@ -1891,8 +1891,39 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.01
 
 
+_TOKENS_DOCS_CACHE: dict[str, int] = {}
+
+
 def _tokens_docs(sf_dir: str) -> int:
-    return max(200, int(50_000 * _sf_of(sf_dir)))
+    """Synthetic-corpus doc count for the tokens-family queries, derived
+    from the events table's rowcount (docs = max(200, |events| // 20)) —
+    the SAME derivation every tokens-family oracle does in SQL
+    (_tokens_points_cte), so engine and oracle agree on ANY dataset dir.
+    The old sf-regex form (max(200, 50000·sf)) silently defaulted to
+    sf=0.01 on dirs with no parseable sf — the 10× rehearsal ran the
+    tokens family on 1/10 of the sf0.1 input while every parquet-backed
+    query grew 10×. Metadata-only rowcount; cached per dir."""
+    if sf_dir not in _TOKENS_DOCS_CACHE:
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            p = f"{sf_dir}/events.parquet"
+            files = (
+                [p]
+                if os.path.isfile(p)
+                else [
+                    os.path.join(p, f)
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                ]
+            )
+            n_events = sum(pq.read_metadata(f).num_rows for f in files)
+            _TOKENS_DOCS_CACHE[sf_dir] = max(200, n_events // 20)
+        except OSError:
+            _TOKENS_DOCS_CACHE[sf_dir] = max(200, int(50_000 * _sf_of(sf_dir)))
+    return _TOKENS_DOCS_CACHE[sf_dir]
 
 
 # --- splitmix64 / hash2 as DuckDB SQL (exact twin of functions.hashing) -----
