@@ -143,6 +143,76 @@ def streaming_variation_delta(
     )
 
 
+def streaming_pack_nosplit(
+    toks: DataFrame, seq_len: int, id_prefix_len: int = 10
+) -> DataFrame:
+    """Ingest-time NO-SPLIT sequence packing — the streaming twin of
+    operators/packing.pack_greedy_nosplit, for pipelines that pack
+    training sequences as documents land instead of in a batch pass.
+
+    The greedy fill is a sequential carry per doc_id-prefix shard, so the
+    shard is the GroupState key and the open sequence's accumulators
+    (fill, seq index, doc count, token sum, first doc) are the state
+    carried across micro-batches — the same contract as
+    ``streaming_variation_delta``. Update semantics: every batch emits the
+    sequences it completed plus the RUNNING row for the still-open
+    sequence; the LAST emission per (grp, seq_in_grp) is final, and on a
+    drained in-order stream the final rows are exactly the batch
+    operator's output (asserted in tests). Arrival order rules across
+    micro-batches (a streaming packer cannot reorder history); within a
+    batch docs are packed in doc_id order, matching the batch total order.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "grp string, seq_in_grp long, n_docs long, tok_sum long, pad long, "
+        "first_doc string, last_doc string, oversize boolean"
+    )
+    state_schema = ("cur bigint, seq bigint, n_docs bigint, tok_sum bigint, "
+                    "first_doc string, last_doc string")
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        grp = key_tuple[0]
+        if state.exists:
+            cur, seq, sdocs, ssum, sfirst, last = state.get
+        else:
+            cur, seq, sdocs, ssum, sfirst, last = 0, 0, 0, 0, None, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id", kind="stable")
+            for d, n in zip(pdf["doc_id"], pdf["n_tok"]):
+                n = int(n)
+                if n <= 0:
+                    continue
+                if cur > 0 and cur + n > seq_len:
+                    rows.append((grp, seq, sdocs, ssum, seq_len - ssum,
+                                 sfirst, last, ssum > seq_len))
+                    seq += 1
+                    cur, sdocs, ssum, sfirst = 0, 0, 0, d
+                if sfirst is None:
+                    sfirst = d
+                cur += n
+                sdocs += 1
+                ssum += n
+                last = d
+        if sdocs:
+            rows.append((grp, seq, sdocs, ssum, seq_len - ssum,
+                         sfirst, last, ssum > seq_len))
+        state.update((cur, seq, sdocs, ssum, sfirst, last))
+        yield pd.DataFrame(
+            rows,
+            columns=["grp", "seq_in_grp", "n_docs", "tok_sum", "pad",
+                     "first_doc", "last_doc", "oversize"],
+        )
+
+    keyed = toks.withColumn("grp", F.substring("doc_id", 1, id_prefix_len))
+    return keyed.groupBy("grp").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_dedup_exact(
     docs: DataFrame,
     watermark: str = "10 minutes",

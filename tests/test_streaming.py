@@ -236,3 +236,65 @@ def test_streaming_dedup_exact_across_batches(spark, tmp_path):
     assert exact_dedup(landed).count() == len(got)
     # pass-through schema: original columns unchanged, no key columns leak
     assert set(got.columns) == {"doc_id", "text", "ts"}
+
+
+def test_streaming_pack_nosplit_matches_batch_across_batches(spark, tmp_path):
+    """Ingest-time no-split packing: two forced micro-batches
+    (maxFilesPerTrigger=1, files split by doc_id range so arrival order ==
+    doc_id order) must carry the open sequence's fill state across the
+    trigger boundary; the LAST emission per (grp, seq) must equal the
+    batch operator exactly — including the sequence that straddles the
+    boundary."""
+    import numpy as np
+
+    from sorting_compressed_time_series_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+    from sorting_compressed_time_series_spark.streaming.stream_rollup import (
+        streaming_pack_nosplit,
+    )
+
+    L = 16
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"g{i % 3}d{i:04d}", [1] * int(rng.choice([3, 5, L, L + 4])), "web")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(d, t, len(t), s) for d, t, s in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    src_dir = tmp_path / "toks"
+    src_dir.mkdir()
+    # two files split mid-group so open sequences straddle the trigger
+    df.filter(F.col("doc_id") < "g1d0030").coalesce(1).write.parquet(
+        str(src_dir / "part1"))
+    df.filter(F.col("doc_id") >= "g1d0030").coalesce(1).write.parquet(
+        str(src_dir / "part2"))
+    src = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/part*")
+    )
+    from sorting_compressed_time_series_spark.streaming.stream_rollup import (
+        run_stream_to_memory,
+    )
+
+    got = run_stream_to_memory(
+        spark, None, agg=streaming_pack_nosplit(src, L, id_prefix_len=2),
+        query_name="packns", output_mode="update",
+    ).toPandas()
+    # update mode: keep the LAST emission per (grp, seq) — running rows
+    # grow monotonically in n_docs, so sorting by it makes .last() final
+    got = (
+        got.sort_values(["grp", "seq_in_grp", "n_docs"])
+        .groupby(["grp", "seq_in_grp"]).last().sort_index()
+    )
+    want = (
+        pack_greedy_nosplit(df, L, id_prefix_len=2)
+        .toPandas()
+        .groupby(["grp", "seq_in_grp"]).last().sort_index()
+    )
+    assert len(got) == len(want)
+    for col in ["n_docs", "tok_sum", "pad", "first_doc", "last_doc", "oversize"]:
+        assert (got[col] == want[col]).all(), col
