@@ -184,3 +184,23 @@ def test_pack_nosplit_exact_fit_and_oversize_edges(spark):
     )
     assert out == [(0, 2, 16, False), (1, 1, 1, False),
                    (2, 1, L + 5, True), (3, 1, 2, False)]
+
+
+def test_pack_nosplit_prunes_token_arrays(spark, tmp_path):
+    """On a parquet source the fill must read only (doc_id, n_tok): the
+    scan's ReadSchema and the collect_list struct must exclude the token
+    arrays — the property that keeps the shuffle ~20 bytes/doc at corpus
+    scale."""
+    from sorting_compressed_time_series_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    p = str(tmp_path / "toks.parquet")
+    _toks_df(spark, _rows(seed=5, n_docs=20)).write.parquet(p)
+    plan = (
+        pack_greedy_nosplit(spark.read.parquet(p), L)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("tokens" not in ln for ln in scan), scan
+    assert "collect_list" in plan and "tokens" not in plan.split("Scan")[0]
