@@ -146,47 +146,67 @@ def pack_greedy_nosplit(
     )
 
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Vectorized greedy fill — no per-doc Python loop, ids stay Arrow:
+        # 1. prefix sums P over the batch's docs (all groups concatenated);
+        # 2. next[i] = end of the sequence that starts at doc i, via ONE
+        #    searchsorted (largest j with P[j] - P[i] <= seq_len), clamped
+        #    to the doc's group end (no fill carries across groups) and to
+        #    at least i+1 (an oversize doc occupies a sequence alone);
+        # 3. sequence starts = every position reachable from a group start
+        #    through next — enumerated with pointer doubling (J := J[J]),
+        #    O(log max_seqs) numpy rounds, no per-element interpreter work;
+        # 4. every output column is a vectorized gather off the starts.
         for b in batches:
             if b.num_rows == 0:
                 continue
-            grps = b.column("grp").to_pylist()
             ds = b.column("ds")
             if isinstance(ds, pa.ChunkedArray):
                 ds = ds.combine_chunks()
-            og, os_, ond, ots, ofd, old_, oov = [], [], [], [], [], [], []
-            for gi in range(b.num_rows):
-                row = ds[gi].values
-                ids = row.field("doc_id").to_pylist()
-                ns = row.field("n_tok").to_numpy(zero_copy_only=False)
-                cur = 0
-                seq = 0
-                # per-seq accumulators
-                sdocs, ssum, sfirst = 0, 0, ids[0] if ids else None
-                for i in range(len(ns)):
-                    n = int(ns[i])
-                    if cur > 0 and cur + n > seq_len:
-                        og.append(grps[gi]); os_.append(seq); ond.append(sdocs)
-                        ots.append(ssum); ofd.append(sfirst); old_.append(ids[i - 1])
-                        oov.append(ssum > seq_len)
-                        seq += 1
-                        cur, sdocs, ssum, sfirst = 0, 0, 0, ids[i]
-                    cur += n
-                    sdocs += 1
-                    ssum += n
-                if sdocs:
-                    og.append(grps[gi]); os_.append(seq); ond.append(sdocs)
-                    ots.append(ssum); ofd.append(sfirst); old_.append(ids[-1])
-                    oov.append(ssum > seq_len)
+            flat = ds.flatten()
+            offs = ds.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            ids = flat.field("doc_id")
+            ns = flat.field("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(ns)
+            if n == 0:
+                continue
+            P = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(ns, out=P[1:])
+            glen = np.diff(offs)
+            gidx = np.repeat(np.arange(b.num_rows, dtype=np.int64), glen)
+            gend = offs[1:][gidx]
+            nxt = np.searchsorted(P, P[:n] + seq_len, side="right") - 1
+            nxt = np.minimum(nxt, gend)
+            np.maximum(nxt, np.arange(1, n + 1), out=nxt)
+            orig_next = np.append(nxt, n)  # sentinel: next[n] = n
+            # chain enumeration: group starts seed the doubling frontier
+            S = offs[:-1][glen > 0]
+            J = orig_next
+            while True:
+                S2 = np.unique(np.concatenate([S, J[S]]))
+                if len(S2) == len(S):
+                    break
+                S = S2
+                J = J[J]
+            S = S[S < n]  # drop the sentinel (and nothing else: group ends
+            #               coincide with the NEXT group's start, also a seed)
+            e = orig_next[S]
+            gS = gidx[S]
+            tok_sum = P[e] - P[S]
+            seq_in_grp = np.arange(len(S), dtype=np.int64) - np.searchsorted(
+                S, offs[:-1]
+            )[gS]
+            idx = pa.array(S)
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(og, type=pa.string()),
-                    pa.array(os_, type=pa.int64()),
-                    pa.array(ond, type=pa.int64()),
-                    pa.array(ots, type=pa.int64()),
-                    pa.array([seq_len - t for t in ots], type=pa.int64()),
-                    pa.array(ofd, type=pa.string()),
-                    pa.array(old_, type=pa.string()),
-                    pa.array(oov, type=pa.bool_()),
+                    b.column("grp").take(pa.array(gS)),
+                    pa.array(seq_in_grp),
+                    pa.array(e - S),
+                    pa.array(tok_sum),
+                    pa.array(seq_len - tok_sum),
+                    ids.take(idx),
+                    ids.take(pa.array(e - 1)),
+                    pa.array(tok_sum > seq_len),
                 ],
                 names=["grp", "seq_in_grp", "n_docs", "tok_sum", "pad",
                        "first_doc", "last_doc", "oversize"],

@@ -47,6 +47,18 @@ def get_spark(
         # chunk blobs are pre-compressed; zstd still wins ~25% on the stats
         # and partial-row columns and the write is disk-bound locally
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate turns explode(shingles) into a pushed-down
+        # filter that re-inlines the WHOLE shingle expression chain (regex
+        # split evaluated ~7x) below the repartition exchange — i.e. into the
+        # narrow pre-shuffle stage, serializing the corpus' most expensive
+        # projection into the scan's task count and evaluating it twice per
+        # row. explode already drops empty/null arrays, so excluding the rule
+        # is result-identical; measured 11.4 s -> 2.1 s on the MinHash-LSH
+        # query (plan-verified: the giant Filter below Exchange disappears).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -204,3 +204,33 @@ def test_pack_nosplit_prunes_token_arrays(spark, tmp_path):
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and all("tokens" not in ln for ln in scan), scan
     assert "collect_list" in plan and "tokens" not in plan.split("Scan")[0]
+
+
+def test_pack_nosplit_long_chain_many_groups(spark):
+    """Stress the vectorized fill's pointer-doubling chain enumeration:
+    one group packing into >200 sequences (many doubling rounds), plus
+    uneven sibling groups in the same Arrow batch — boundary alignment
+    between groups must hold for every output column."""
+    from sorting_compressed_time_series_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    rows = []
+    # group 'g0': 500 docs of 7 tokens -> floor(16/7)=2 docs/seq, 250 seqs
+    rows += [(f"g0_{i:04d}", [1] * 7, "web") for i in range(500)]
+    # group 'g1': single doc
+    rows += [("g1_0000", [1] * 3, "web")]
+    # group 'g2': alternating oversize / tiny
+    rows += [(f"g2_{i:04d}", [1] * (L + 1 if i % 2 else 2), "web")
+             for i in range(9)]
+    got = {
+        (r["grp"], r["seq_in_grp"]): (
+            r["n_docs"], r["tok_sum"], r["pad"],
+            r["first_doc"], r["last_doc"], r["oversize"],
+        )
+        for r in pack_greedy_nosplit(
+            _toks_df(spark, rows).repartition(5), L, id_prefix_len=2
+        ).collect()
+    }
+    assert got == _reference_nosplit(rows, L, 2)
+    assert len([k for k in got if k[0] == "g0"]) == 250
