@@ -19,6 +19,12 @@ more than `max_df` docs carries ~no signal and would dominate the join.
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 NORMALIZE = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
@@ -96,27 +102,84 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc (n=1 → word set).
+def _flat_list(b: pa.RecordBatch, col: str) -> tuple[pa.Array, np.ndarray]:
+    """(flattened child array, zero-based offsets) of a list column."""
+    arr = b.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return arr.flatten(), offs - offs[0]
 
-    Built with nested ``zip_with(w, slice(w, k, …))`` rather than
-    ``transform(sequence(…), i -> w[i]…)``: the indexed form makes Catalyst
-    inline the (regex-split) definition of ``w`` into every per-element
-    ``w[i]`` access after projection collapse — measured ~20× slower.
-    zip_with iterates the arrays linearly; zip_with pads the shorter side
-    with NULL (concat → NULL), and the final slice trims those tails."""
-    d = normalized(docs).withColumn("w", F.split("norm_text", " "))
-    if n == 1:
-        sh = F.array_distinct("w")
-    else:
-        acc = "w"
-        for k in range(1, n):
-            acc = (f"zip_with({acc}, slice(w, {k + 1}, greatest(size(w)-{k}, 0)), "
-                   f"(a, b) -> concat(a, ' ', b))")
-        sh = F.expr(
-            f"array_distinct(slice({acc}, 1, greatest(size(w)-{n - 1}, 0)))"
-        )
-    return d.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+
+def _doc_ngrams(words: list, offs: np.ndarray, n: int,
+                distinct: bool) -> tuple[list, np.ndarray]:
+    """Per-doc word n-grams from the batch's flattened word list.
+    Returns (flat gram list, per-doc gram counts). Exact twin of the SQL
+    oracles' ``ws[i] || ' ' || ws[i+1] …`` construction (space-joined,
+    first-occurrence order when distinct)."""
+    ndocs = len(offs) - 1
+    counts = np.zeros(ndocs, dtype=np.int64)
+    out: list = []
+    for di in range(ndocs):
+        ws = words[offs[di]:offs[di + 1]]
+        if n == 1:
+            g = list(dict.fromkeys(ws)) if distinct else ws
+        else:
+            k = len(ws) - n + 1
+            if k <= 0:
+                continue
+            gi = (" ".join(ws[i:i + n]) for i in range(k))
+            g = list(dict.fromkeys(gi)) if distinct else list(gi)
+        counts[di] = len(g)
+        out.extend(g)
+    return out, counts
+
+
+def _words_frame(docs: DataFrame, id_col: str) -> tuple[DataFrame, str]:
+    """(doc_id, w words-array) projection + the id column's DDL type —
+    normalize/split stay JVM-side (codegen, column pruning); everything
+    downstream of the word array is batch-vectorized Python."""
+    d = normalized(docs).select(
+        F.col(id_col).alias("doc_id"), F.split("norm_text", " ").alias("w")
+    )
+    return d, d.schema["doc_id"].dataType.simpleString()
+
+
+def word_shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc — distinct by default (n=1 → word
+    set); ``distinct=False`` keeps every POSITION's gram (multiplicity
+    preserved, for substring-duplication stats).
+
+    The n-gram construction runs in a ``mapInArrow`` kernel over the
+    JVM-split word arrays: the previous pure-JVM ``zip_with`` chain
+    (chosen over ``transform(sequence…)``, which inlined the regex-split
+    ~20× over) still cost ~7 ms/doc warm in whole-stage codegen — the
+    UTF8String array churn dominates — vs ~0.05 ms/doc for batch string
+    joins in the Python worker. Only (doc_id, words) cross the boundary,
+    map-side; shuffle shape of every consumer is unchanged (they hash or
+    explode the shingles before any exchange)."""
+    d, id_type = _words_frame(docs, id_col)
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat, offs = _flat_list(b, "w")
+            grams, counts = _doc_ngrams(flat.to_pylist(), offs, n, distinct)
+            goffs = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=goffs[1:])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pa.ListArray.from_arrays(
+                        pa.array(goffs), pa.array(grams, type=pa.string())
+                    ),
+                ],
+                names=["doc_id", "shingles"],
+            )
+
+    return d.mapInArrow(kern, schema=f"doc_id {id_type}, shingles array<string>")
 
 
 def jaccard_pairs(
@@ -167,20 +230,52 @@ def jaccard_pairs(
 def minhash_signatures(docs: DataFrame, num_perm: int = 32, n: int = 3) -> DataFrame:
     """MinHash signature per doc: min over shingles of the i-th 2-universal
     linear permutation (a_i * h + b_i) mod p of a portable md5-derived base
-    hash — ONE md5 per shingle (cheaper than per-permutation string
-    hashing: the string is scanned once, the permutations are integer
-    mul/add/mod in whole-stage codegen), and exactly reproducible in the
-    DuckDB gate oracle."""
-    ex = (
-        word_shingles(docs, n)
-        .select("doc_id", F.explode("shingles").alias("sh"))
-        .withColumn("x", md5_u32("sh") % MINHASH_P)
-    )
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_perm_constants(num_perm))
-    ]
-    return ex.groupBy("doc_id").agg(*aggs)
+    hash — exactly reproducible in the DuckDB gate oracle.
+
+    One FUSED ``mapInArrow`` kernel does shingling + md5 + all
+    ``num_perm`` permutation minima per Arrow batch: md5 runs once per
+    batch-distinct shingle (hashlib, C speed), the permutations are
+    ``num_perm`` vectorized mul/add/mod passes with segmented
+    ``minimum.reduceat`` minima (exact: x, a < 2^31 so products stay
+    < 2^62). This replaces a shingle explode + per-occurrence JVM md5 +
+    a 32-aggregate hash aggregation — the groupBy exchange disappears
+    (signatures are emitted map-side; docs with no shingles are dropped,
+    matching the old explode+groupBy semantics)."""
+    d, id_type = _words_frame(docs, "doc_id")
+    consts = minhash_perm_constants(num_perm)
+    A = np.array([a for a, _ in consts], dtype=np.int64)
+    B = np.array([b for _, b in consts], dtype=np.int64)
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat, offs = _flat_list(b, "w")
+            grams, counts = _doc_ngrams(flat.to_pylist(), offs, n, distinct=True)
+            nz = np.nonzero(counts)[0]
+            if len(nz) == 0:
+                continue
+            uniq, inv = np.unique(np.asarray(grams, dtype=object),
+                                  return_inverse=True)
+            ux = np.empty(len(uniq), dtype=np.int64)
+            for i, s in enumerate(uniq):
+                ux[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+            x = (ux % MINHASH_P)[inv]
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            starts = starts[nz]
+            mins = np.empty((len(nz), len(A)), dtype=np.int64)
+            for i in range(len(A)):
+                mins[:, i] = np.minimum.reduceat((x * A[i] + B[i]) % MINHASH_P,
+                                                 starts)
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id").take(pa.array(nz))]
+                + [pa.array(mins[:, i]) for i in range(len(A))],
+                names=["doc_id"] + [f"mh{i}" for i in range(len(A))],
+            )
+
+    mh_ddl = ", ".join(f"mh{i} bigint" for i in range(num_perm))
+    return d.mapInArrow(kern, schema=f"doc_id {id_type}, {mh_ddl}")
 
 
 def minhash_lsh_candidates(
@@ -253,44 +348,60 @@ def minhash_lsh_candidates(
 
 def simhash(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: bit b of the fingerprint is the sign
-    of sum over words of (bit b of hash(word) ? +1 : -1), built with bit
-    arithmetic on the exploded words — stays JVM-side.  The 64 word-hash
+    of sum over words of (bit b of hash(word) ? +1 : -1).  The 64 word-hash
     bits come from md5 as two portable 32-bit halves (hi = bits 63..32,
     lo = bits 31..0) so the DuckDB gate oracle computes the identical
-    fingerprints."""
-    # NOTE (measured, round 5): pre-aggregating to distinct (doc, word) +
-    # count before hashing (2.3× fewer md5/bit-extraction rows) is a NET
-    # LOSS here — it inserts a word-string exchange where the current plan
-    # shuffles nothing but 64 map-side-combined per-doc sums (3.17 s vs
-    # 2.16 s at sf0.1 in quiet windows). Keep the per-occurrence form.
-    ex = (
-        normalized(docs)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split("norm_text", " ")).alias("w"),
-        )
-        .withColumn("hi", md5_u32("w", 1))
-        .withColumn("lo", md5_u32("w", 9))
-    )
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright("hi" if b >= 32 else "lo", b % 32)
-                .bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
-    per_bit = ex.groupBy("doc_id").agg(*aggs)
-    fp = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << b).cast("long") if b < 63 else F.when(
-            F.col(f"b{b}") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return per_bit.select("doc_id", fp.alias("simhash"))
+    fingerprints.
+
+    Computed per Arrow batch in a ``mapInArrow`` kernel: md5 once per
+    batch-distinct word (hashlib), then 64 segmented bit-count reductions
+    (``add.reduceat`` over the per-doc word ranges) and one sign-threshold
+    pack into the int64 fingerprint (two's complement — identical to the
+    old JVM sum-of-±1 construction, pytest + oracle verified). Replaces a
+    word explode + per-occurrence JVM md5 + a 64-aggregate hash aggregate;
+    fingerprints are emitted map-side, so the groupBy exchange is gone.
+    (The round-5 note about pre-aggregating to distinct (doc, word) being
+    a net loss applied to the JVM plan shape — the kernel dedupes words
+    batch-locally with no exchange at all.)"""
+    d, id_type = _words_frame(docs, id_col)
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat, offs = _flat_list(b, "w")
+            words = np.asarray(flat.to_pylist(), dtype=object)
+            uniq, inv = np.unique(words, return_inverse=True)
+            uh = np.empty(len(uniq), dtype=np.uint64)
+            for i, s in enumerate(uniq):
+                hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                uh[i] = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+            h64 = uh[inv]
+            # docs with a null/empty word array produced no explode rows in
+            # the old plan and get no fingerprint here either (and reduceat
+            # needs strictly increasing segment starts)
+            lens = np.diff(offs)
+            keep = np.nonzero(lens > 0)[0]
+            if len(keep) == 0:
+                continue
+            starts = offs[:-1][keep]
+            cnt = np.empty((len(keep), 64), dtype=np.int64)
+            for bb in range(64):
+                bitcol = ((h64 >> np.uint64(bb)) & np.uint64(1)).astype(np.int64)
+                cnt[:, bb] = np.add.reduceat(bitcol, starts)
+            nw = lens[keep][:, None]
+            fp = (
+                ((2 * cnt > nw).astype(np.uint64) << shifts)
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id").take(pa.array(keep)), pa.array(fp)],
+                names=["doc_id", "simhash"],
+            )
+
+    return d.mapInArrow(kern, schema=f"doc_id {id_type}, simhash bigint")
 
 
 def simhash_pairs(
@@ -381,35 +492,43 @@ def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .select(F.col("a").alias("v"), F.col("p"))
         .localCheckpoint(eager=True)
     )
+    # Convergence gauge: parent values are pointwise NON-INCREASING round
+    # over round (contraction mins over a set containing p[v]; halving
+    # replaces p by p[p] <= p because every node's parent <= the node), so
+    # the exact decimal sum is strictly decreasing until the fixpoint and
+    # "sum unchanged" <=> "no value changed". This replaces the old
+    # old-vs-new join + count action with ONE cheap aggregate per round
+    # over the just-checkpointed frame. decimal(38,0) keeps the sum exact
+    # far beyond 10^12 ids x 10^12 nodes (no ANSI long overflow).
+    _psum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("p").cast("decimal(30,0)")).alias("s")
+    ).collect()[0][0]
+    prev_sum = _psum(parent)
     for _ in range(max_iters):
-        # star-contraction round: point every node at the min parent in its
-        # 1-hop neighborhood (its own parent and its neighbors' parents)
+        # ONE fused plan per round — star contraction (min parent over the
+        # 1-hop neighborhood) immediately followed by path-halving
+        # (parent := parent[parent]); a single localCheckpoint both breaks
+        # the per-round lineage growth and is the only action. The
+        # contraction subtree is referenced twice by the halving self-join
+        # (edge-sized, fixed-width rows) — cheaper than materializing it
+        # as a second checkpoint action per round.
         nb = (
             edges.join(parent.withColumnRenamed("v", "b"), "b")
             .select(F.col("a").alias("v"), "p")
         )
         contracted = (
-            parent.unionByName(nb)
-            .groupBy("v")
-            .agg(F.min("p").alias("p"))
-            .localCheckpoint(eager=True)  # break the self-join lineage
+            parent.unionByName(nb).groupBy("v").agg(F.min("p").alias("p"))
         )
-        # path-halving: parent := parent[parent]
         gp = contracted.select(F.col("v").alias("pv"), F.col("p").alias("gp"))
-        new_parent = (
+        parent = (
             contracted.join(gp, contracted.p == gp.pv, "left")
             .select("v", F.coalesce("gp", "p").alias("p"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_parent.alias("n")
-            .join(parent.alias("o"), "v")
-            .filter(F.col("n.p") != F.col("o.p"))
-            .count()
-        )
-        parent = new_parent
-        if changed == 0:
+        cur_sum = _psum(parent)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return parent.select(F.col("v").alias("doc_id"), F.col("p").alias("group_id"))
 
 
@@ -514,15 +633,11 @@ def substring_dup_stats(docs: DataFrame, n: int = 5,
     each shifting one doc's dup_frac by 1/n_grams). The duplicated-gram
     side of the join is pre-filtered to freq>1, which is also the natural
     broadcast candidate when boilerplate is rare."""
-    d = normalized(docs).withColumn("w", F.split("norm_text", " "))
-    acc = "w"
-    for k in range(1, n):
-        acc = (f"zip_with({acc}, slice(w, {k + 1}, greatest(size(w)-{k}, 0)), "
-               f"(a, b) -> concat(a, ' ', b))")
-    grams = d.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(f"slice({acc}, 1, greatest(size(w)-{n - 1}, 0))")).alias("gram"),
-    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    grams = (
+        word_shingles(docs, n, id_col=id_col, distinct=False)
+        .select("doc_id", F.explode("shingles").alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("h"))
+    )
     dup_h = (
         grams.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
     )

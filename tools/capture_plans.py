@@ -27,7 +27,14 @@ def main() -> int:
     from sorting_compressed_time_series_spark.session import get_spark
 
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark(app="plans", cores=8, shuffle_partitions=8)
+    # PLANS_EXTRA_CONF="k=v;k=v" — e.g. re-enable an excluded optimizer rule
+    # to reproduce the round-start plan for a _before capture
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("PLANS_EXTRA_CONF", "").split(";")
+        if "=" in kv
+    )
+    spark = get_spark(app="plans", cores=8, shuffle_partitions=8, extra=extra)
     rc = 0
     for name, fn in SPARK_QUERIES.items():
         if only and name not in only:
