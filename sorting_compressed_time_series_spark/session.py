@@ -28,10 +28,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # default 64m advisory coalesces a ~50MB post-shuffle stage to ONE
-        # task — a single-threaded write after a 32-way aggregation; 8m
-        # keeps the tail parallel while still batching tiny partitions
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE coalescing target ~= stage bytes / cores, NOT a universal
+        # constant: local bench stages move single-digit MBs, and the 8m
+        # advisory collapsed CPU-heavy post-shuffle stages (Python codec
+        # kernels after a groupBy) to ONE task — measured 1.7 s -> 1.6 s
+        # compaction_merge, 1.05 -> 0.79 rollup_1m, sweep subset -15% at
+        # 1m. On a 100 TB cluster stages move GBs+ per wave; set 64-256m
+        # via SPARK_GRAFT_ADVISORY_PARTITION (guide: 100MB-1GB partitions).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "1m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize the Python worker round trip for the
