@@ -38,7 +38,29 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
-def pack_sequences(toks: DataFrame, seq_len: int, id_prefix_len: int = 9) -> DataFrame:
+def _widen_prefix_for_skew(
+    docs: DataFrame, id_prefix_len: int, max_group_docs: int
+) -> tuple[DataFrame, int]:
+    """Guard against doc_id-prefix skew: if any placement group holds more
+    than ``max_group_docs`` docs (degenerate shared-prefix corpora collapse
+    to few giant groups — a single-task sort per group), widen the prefix
+    until groups are bounded. Each probe is one metadata-sized aggregation
+    (count per group, max) — worth it only when skew is plausible, hence
+    opt-in. The packed OUTPUT is invariant to the prefix length (any prefix
+    of the sort key yields the same global offsets)."""
+    plen = id_prefix_len
+    while True:
+        biggest = (
+            docs.groupBy("grp").count().agg(F.max("count")).collect()[0][0]
+        )
+        if biggest is None or biggest <= max_group_docs or plen >= 64:
+            return docs, plen
+        plen += 2
+        docs = docs.withColumn("grp", F.substring("doc_id", 1, plen))
+
+
+def pack_sequences(toks: DataFrame, seq_len: int, id_prefix_len: int = 9,
+                   max_group_docs: int | None = None) -> DataFrame:
     """Concatenate all docs' tokens in ``doc_id`` order and chunk the stream
     into back-to-back sequences of exactly ``seq_len`` tokens (documents may
     span sequence boundaries; the final partial sequence is dropped) — the
@@ -52,11 +74,18 @@ def pack_sequences(toks: DataFrame, seq_len: int, id_prefix_len: int = 9) -> Dat
     and per-group prefix sums + cumulative group bases equal the global
     prefix sum.  Pick it so groups hold ~10^4–10^6 docs: the per-group
     window sort is the parallel unit, and the group-base table (one row
-    per group) must stay broadcastable.
+    per group) must stay broadcastable.  ``max_group_docs`` (opt-in)
+    probes group sizes and auto-widens the prefix when a shared-prefix
+    corpus degenerates to few giant groups — the output is invariant to
+    the prefix length, only the parallel decomposition changes.
     """
     docs = toks.filter(F.col("n_tok") > 0).withColumn(
         "grp", F.substring("doc_id", 1, id_prefix_len)
     )
+    if max_group_docs is not None:
+        docs, id_prefix_len = _widen_prefix_for_skew(
+            docs, id_prefix_len, max_group_docs
+        )
     # within-group token offset: exclusive running sum in doc_id order
     w_in = W.partitionBy("grp").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     # cross-group bases: n_groups rows — the one intentionally tiny
@@ -240,10 +269,31 @@ def histogram_partials_kernel(
         offs = offs - offs[0]
         lo = int(flat.min())
         width = int(flat.max()) - lo + 1
-        shifted = flat - lo
-        occ = np.bincount(shifted, minlength=width)
         lengths = np.diff(offs)
         doc_idx = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+        if width > (1 << 22):
+            # sparse/outlier token-id range: a dense bincount of `width`
+            # cells would allocate (or fail to) GBs off one stray id — the
+            # operator is public API over arbitrary toks frames. Sort-based
+            # fallback: identical (token, n_occ, n_docs) partials at
+            # O(n log n) instead of O(width) memory.
+            order = np.lexsort((doc_idx, flat))
+            ft, fd = flat[order], doc_idx[order]
+            toks_u, starts, occ_u = np.unique(
+                ft, return_index=True, return_counts=True
+            )
+            newpair = np.ones(len(ft), dtype=np.int64)
+            chg = (ft[1:] != ft[:-1]) | (fd[1:] != fd[:-1])
+            newpair[1:] = chg.astype(np.int64)
+            docs_u = np.add.reduceat(newpair, starts)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(toks_u), pa.array(occ_u.astype(np.int64)),
+                 pa.array(docs_u)],
+                names=["token", "n_occ", "n_docs"],
+            )
+            continue
+        shifted = flat - lo
+        occ = np.bincount(shifted, minlength=width)
         # distinct (doc, token) pairs -> per-token doc counts; exact
         # because a doc's whole array sits in this batch row
         pairs = np.unique(doc_idx * width + shifted)

@@ -33,13 +33,22 @@ def _emb_matrix(batch_col) -> np.ndarray:
     return flat.reshape(-1, dim)
 
 
-def _scores_df(emb: DataFrame, queries: np.ndarray, query_ids: np.ndarray) -> DataFrame:
+def _topk_partials_df(emb: DataFrame, queries: np.ndarray,
+                      query_ids: np.ndarray, k: int) -> DataFrame:
+    """Per-Arrow-batch LOCAL top-k rows per query (self-pairs excluded):
+    each batch emits at most n_queries x k (query_id, neighbor_id, score)
+    rows under the total order (score desc, neighbor_id asc) — any global
+    top-k row is necessarily inside its batch's local top-k under the
+    same order, so the global top-k of the partials is exact. Shuffle
+    shrinks from n_queries x corpus scored rows through one window rank
+    to n_queries x k x n_batches partials."""
     qm = queries / np.linalg.norm(queries, axis=1, keepdims=True)
     spark = emb.sparkSession
     bq = spark.sparkContext.broadcast((qm, query_ids))
 
     def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         qmat, qids = bq.value
+        nq = len(qids)
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -48,13 +57,27 @@ def _scores_df(emb: DataFrame, queries: np.ndarray, query_ids: np.ndarray) -> Da
             norms[norms == 0] = 1.0
             mn = m / norms
             scores = mn @ qmat.T  # (batch, n_queries)
-            vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False)
-            nq = len(qids)
+            vec_ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            # exclude self-pairs before picking the local top-k
+            scores[vec_ids[:, None] == qids[None, :]] = -np.inf
+            kk = min(k, len(vec_ids))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(nq):
+                # full (score desc, neighbor asc) lexsort per query — the
+                # EXACT total order of the global window rank, so boundary
+                # ties at rank k resolve identically; O(n log n) per query
+                # is noise next to the matmul
+                o = np.lexsort((vec_ids, -scores[:, qi]))[:kk]
+                sc = scores[o, qi]
+                fin = np.isfinite(sc)  # drop masked self rows
+                out_q.append(np.full(int(fin.sum()), qids[qi], dtype=np.int64))
+                out_n.append(vec_ids[o][fin])
+                out_s.append(sc[fin])
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.repeat(qids, len(vec_ids))),
-                    pa.array(np.tile(vec_ids, nq)),
-                    pa.array(scores.T.reshape(-1)),
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_n)),
+                    pa.array(np.concatenate(out_s)),
                 ],
                 names=["query_id", "neighbor_id", "score"],
             )
@@ -66,7 +89,9 @@ def _scores_df(emb: DataFrame, queries: np.ndarray, query_ids: np.ndarray) -> Da
 
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Exact cosine top-k of the first ``n_queries`` vec_ids against the
-    whole corpus (self excluded). Deterministic rank tie-break by id."""
+    whole corpus (self excluded). Deterministic rank tie-break by id.
+    The corpus pass emits per-batch top-k partials (k rows per query per
+    batch); only those partials cross the exchange into the global rank."""
     qrows = (
         emb.filter(F.col("vec_id") < n_queries)
         .orderBy("vec_id")
@@ -75,7 +100,7 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
     )
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
     qm = np.array([list(r.embedding) for r in qrows], dtype=np.float64)
-    scored = _scores_df(emb, qm, qids).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = _topk_partials_df(emb, qm, qids, k)
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -458,41 +483,78 @@ def cosine_dup_pairs_lsh(emb: DataFrame, tau: float = 0.8,
     the drop is observable in the candidate counts, never silent data loss
     for real near-dup clusters sized below the cap.
 
-    Scale shape: shuffle is corpus × n_tables fixed-width (id, bucket)
-    rows — the corpus' embedding column is only re-joined for the
-    candidate ids; no driver collect, no corpus broadcast, no full
-    cross-join anywhere."""
-    ids_only = emb.select("vec_id", "embedding")
-    cand = lsh_candidate_pairs(ids_only, n_tables, n_bits, seed, bucket_cap)
-    ea = ids_only.select(F.col("vec_id").alias("a"), F.col("embedding").alias("e_a"))
-    eb = ids_only.select(F.col("vec_id").alias("b"), F.col("embedding").alias("e_b"))
-    joined = cand.join(ea, "a").join(eb, "b").select("a", "b", "e_a", "e_b")
+    Scale shape — BUCKET-LOCAL verify (round-6): the bucketing kernel
+    carries the embedding with each (table, bucket) row and every
+    non-degenerate bucket verifies itself with one grouped BLAS matmul;
+    surviving (a < b) pairs are deduped across tables with one distinct
+    on fixed-width ids. The corpus' embeddings cross the exchange exactly
+    ``n_tables`` times — the old candidate→embedding re-join replicated
+    each embedding ≈ 2·|cand|/n times (measured ~390× at the 80 k
+    crossover point, ≈ 8 GB shuffled; see BENCH.md). The bucket cap is
+    enforced inside the grouped verify (oversized degenerate buckets emit
+    nothing — identical semantics to the old pre-join anti-filter), which
+    also removes the bucket-size count pass and the corpus-sized cache.
+    Caveat: a capped-out hub bucket is still materialized by its group
+    task before being dropped (group memory = bucket size × dim × 8 B);
+    for corpora where multi-GB degenerate hubs are plausible, compose
+    ``lsh_candidate_pairs`` + an id-join verify instead (that path keeps
+    per-task memory bucket-independent). The 1e-12 norm clamp keeps
+    zero-norm embeddings at score 0 (NaN would pass ``>= tau`` under
+    NaN-greatest ordering), same as the exact path."""
 
-    # vectorized verify: one numpy row-wise dot per Arrow batch. A JVM
-    # zip_with/aggregate per candidate was measured 5× slower than the
-    # exact block-pair path at 10M candidates (per-element expression
-    # evaluation vs BLAS); einsum restores the vectorized cost model the
-    # candidate-first path exists for. The 1e-12 clamp keeps zero-norm
-    # embeddings at score 0 — NaN would pass `>= tau` under Spark's
-    # NaN-greatest ordering, and all-zero vectors collide in every
-    # sign-LSH table (same clamp as the exact path).
-    def verify(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def kern(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pl = None
         for b in batches:
             if b.num_rows == 0:
                 continue
-            ma = _emb_matrix(b.column("e_a"))
-            mb = _emb_matrix(b.column("e_b"))
-            dots = np.einsum("ij,ij->i", ma, mb)
-            den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-            score = dots / np.maximum(den, 1e-12)
-            keep = score >= tau
-            yield pa.RecordBatch.from_arrays(
-                [b.column("a").filter(pa.array(keep)),
-                 b.column("b").filter(pa.array(keep))],
-                names=["a", "b"],
-            )
+            m = _emb_matrix(b.column("embedding"))
+            if pl is None or pl.shape[2] != m.shape[1]:
+                pl = hyperplanes(m.shape[1], n_bits * n_tables, seed).reshape(
+                    n_tables, n_bits, m.shape[1]
+                )
+            for t in range(n_tables):
+                signs = (m @ pl[t].T) > 0
+                bucket = np.zeros(len(m), dtype=np.int64)
+                for j in range(n_bits):
+                    bucket |= signs[:, j].astype(np.int64) << j
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column("vec_id"),
+                        pa.array(np.full(len(m), t, dtype=np.int32)),
+                        pa.array(bucket),
+                        b.column("embedding"),
+                    ],
+                    names=["vec_id", "tbl", "bucket", "embedding"],
+                )
 
-    return joined.mapInArrow(verify, schema="a bigint, b bigint")
+    etype = emb.schema["embedding"].dataType.simpleString()
+    tb = emb.select("vec_id", "embedding").mapInArrow(
+        kern,
+        schema=f"vec_id bigint, tbl int, bucket bigint, embedding {etype}",
+    )
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if tbl.num_rows < 2 or tbl.num_rows > bucket_cap:
+            return empty
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(tbl.column("embedding"))
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        s = mn @ mn.T
+        ii, jj = np.nonzero(np.triu(s >= tau, k=1))
+        if len(ii) == 0:
+            return empty
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    return (
+        tb.groupBy("tbl", "bucket")
+        .applyInArrow(verify, schema="a bigint, b bigint")
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(ids_only: DataFrame, n_tables: int = 8,

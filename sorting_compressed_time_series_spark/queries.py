@@ -1980,18 +1980,26 @@ def _tokens_docs(sf_dir: str) -> int:
             import pyarrow.parquet as pq
 
             p = f"{sf_dir}/events.parquet"
-            files = (
-                [p]
-                if os.path.isfile(p)
-                else [
-                    os.path.join(p, f)
-                    for f in os.listdir(p)
+            if os.path.isfile(p):
+                files = [p]
+            else:
+                # recursive walk: a partitioned/nested events.parquet dir
+                # has no top-level *.parquet files, and summing zero of
+                # them would silently shrink the corpus to the 200-doc
+                # floor (diverging from the oracle's count(*) derivation)
+                files = [
+                    os.path.join(dp, f)
+                    for dp, _, fs in os.walk(p)
+                    for f in fs
                     if f.endswith(".parquet")
                 ]
-            )
             n_events = sum(pq.read_metadata(f).num_rows for f in files)
+            if not files:
+                raise OSError(f"no parquet files under {p}")
             _TOKENS_DOCS_CACHE[sf_dir] = max(200, n_events // 20)
-        except OSError:
+        except Exception:  # noqa: BLE001 — pyarrow raises ArrowInvalid (not
+            # OSError) on a corrupt footer; any metadata failure falls back
+            # to the sf-derived count rather than a confusing gate mismatch
             _TOKENS_DOCS_CACHE[sf_dir] = max(200, int(50_000 * _sf_of(sf_dir)))
     return _TOKENS_DOCS_CACHE[sf_dir]
 

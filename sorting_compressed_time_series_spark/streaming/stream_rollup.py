@@ -180,8 +180,19 @@ def streaming_pack_nosplit(
         else:
             cur, seq, sdocs, ssum, sfirst, last = 0, 0, 0, 0, None, None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id", kind="stable")
+        # applyInPandasWithState delivers a group's micro-batch rows as
+        # MULTIPLE pandas chunks (arrow.maxRecordsPerBatch slices); sorting
+        # each chunk independently packed chunk-spanning groups in
+        # chunk-arrival order. Materialize the whole group's batch and sort
+        # ONCE so within-batch packing is truly doc_id-ordered (matching
+        # pack_greedy_nosplit's total order).
+        chunks = list(pdfs)
+        group_pdfs = (
+            [(pd.concat(chunks) if len(chunks) > 1 else chunks[0])
+             .sort_values("doc_id", kind="stable")]
+            if chunks else []
+        )
+        for pdf in group_pdfs:
             for d, n in zip(pdf["doc_id"], pdf["n_tok"]):
                 n = int(n)
                 if n <= 0:

@@ -234,3 +234,57 @@ def test_pack_nosplit_long_chain_many_groups(spark):
     }
     assert got == _reference_nosplit(rows, L, 2)
     assert len([k for k in got if k[0] == "g0"]) == 250
+
+
+def test_pack_sequences_skewed_prefix_autowiden(spark):
+    """Planted skew: every doc_id shares the first 12 chars, so the
+    default 9-char prefix yields ONE giant group. With max_group_docs the
+    prefix auto-widens until groups are bounded, and the packed output is
+    identical to the unguarded run (global offsets are invariant to the
+    prefix length)."""
+    from sorting_compressed_time_series_spark.operators.packing import (
+        _widen_prefix_for_skew,
+        pack_sequences,
+    )
+
+    rows = [(f"tenantAAABBB{i:05d}", [i % 50] * 7, "web") for i in range(200)]
+    df = _toks_df(spark, rows).repartition(5)
+    plain = {
+        (r["seq_id"],): (tuple(r["tokens"]), r["n_docs"])
+        for r in pack_sequences(df, L, id_prefix_len=9).collect()
+    }
+    guarded = {
+        (r["seq_id"],): (tuple(r["tokens"]), r["n_docs"])
+        for r in pack_sequences(
+            df, L, id_prefix_len=9, max_group_docs=50
+        ).collect()
+    }
+    assert guarded == plain and len(plain) > 0
+    # the widening itself bounds the max group size
+    from pyspark.sql import functions as SF
+
+    docs = df.filter(SF.col("n_tok") > 0).withColumn(
+        "grp", SF.substring("doc_id", 1, 9)
+    )
+    widened, plen = _widen_prefix_for_skew(docs, 9, 50)
+    assert plen > 9
+    biggest = widened.groupBy("grp").count().agg(SF.max("count")).collect()[0][0]
+    assert biggest <= 50
+
+
+def test_token_histogram_sparse_width_fallback(spark):
+    """An outlier token id (width ≫ 2^22) must not blow up the dense
+    bincount — the sort-based fallback yields identical partials."""
+    from sorting_compressed_time_series_spark.operators.packing import (
+        token_histogram,
+    )
+
+    rows = [
+        ("d0", [5, 5, 7, 1 << 30], "web"),
+        ("d1", [5, 7, 7], "web"),
+    ]
+    out = {
+        r["token"]: (r["n_occ"], r["n_docs"])
+        for r in token_histogram(_toks_df(spark, rows), top_k=10).collect()
+    }
+    assert out == {5: (3, 2), 7: (3, 2), 1 << 30: (1, 1)}
