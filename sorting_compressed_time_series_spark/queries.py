@@ -97,9 +97,19 @@ def _collected_series(ev: DataFrame, *value_cols: str) -> DataFrame:
     sort_array(collect_list(struct(ts_us, event_id, *values))).  Replaces the
     old per-group ``applyInPandas`` (which built a one-row pandas frame per
     group): the sort runs in whole-stage codegen and the downstream kernel
-    sees whole Arrow batches of complete series — no per-group Python."""
+    sees whole Arrow batches of complete series — no per-group Python.
+
+    The explicit ``repartition(user_id)`` IS the aggregation's one
+    exchange (the groupBy reuses the partitioning — plan shows a single
+    Exchange): it moves the list-building and sorting BEHIND the shuffle,
+    where parallelism is the core count, instead of into the partial
+    aggregate of the scan stage — the testdata events table is one
+    single-row-group parquet file, so that scan stage is one task and the
+    old plan built every partial list single-threaded. On a many-file
+    production table the exchange carries the same bytes either way."""
     fields = ["ts_us", "event_id", *value_cols]
-    return ev.groupBy("user_id").agg(
+    par = ev.sparkSession.sparkContext.defaultParallelism
+    return ev.repartition(par, "user_id").groupBy("user_id").agg(
         F.sort_array(F.collect_list(F.struct(*fields))).alias("pts")
     )
 
