@@ -135,7 +135,12 @@ def variation_windows_delta(df: DataFrame, key: str, ts_col: str, value_col: str
 
     fields = [ts_col] + [f.name for f in df.schema.fields
                          if f.name not in (key, ts_col)]
-    collected = df.groupBy(key).agg(
+    # the explicit repartition IS the aggregation's one exchange (the
+    # groupBy reuses it): list building/sorting runs behind the shuffle at
+    # core-count parallelism instead of inside the scan stage's partial
+    # aggregate (a single-row-group parquet source scans as ONE task)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    collected = df.repartition(par, key).groupBy(key).agg(
         F.sort_array(F.collect_list(F.struct(*fields))).alias("pts")
     )
     out_schema = ", ".join(
