@@ -66,6 +66,16 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # constraint propagation is O(constraints x expressions) per
+        # optimizer pass and this engine's plans carry big expression trees
+        # (md5 banding, zip_with folds, staged keep-list joins): disabling
+        # it cut the plan-heavy query set 17% (16.3 s -> 13.6 s, quiet
+        # gauges) with identical results — the rule only ADDS inferred
+        # filters, and every join key here is non-null by construction
+        # (hashes/ids), so the inferred IsNotNull pruning it funds has
+        # nothing to prune. Spark documents this switch as the standard
+        # mitigation when planning dominates.
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
