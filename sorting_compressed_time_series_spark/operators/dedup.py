@@ -457,7 +457,8 @@ def simhash_pairs(
     return out
 
 
-def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def dup_groups(pairs: DataFrame, max_iters: int = 50,
+               local_threshold: int | None = 5_000_000) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, group_id) with
     group_id = the smallest doc_id in the component — the step that turns
     pairwise dedup output into dedup GROUPS (one keep per cluster).
@@ -479,6 +480,40 @@ def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     e = pairs.select(F.col("a").cast("long"), F.col("b").cast("long")).filter(
         F.col("a") != F.col("b")
     )
+    # Size-gated LOCAL fast path: near-dup pair sets are the designed-
+    # linear output of the candidate stages — orders of magnitude smaller
+    # than the corpus — and every caller hands them in already
+    # localCheckpoint-ed, so the count is one cheap job. Below the
+    # threshold (default 5M edges ~= 80 MB in flight; same small-side
+    # stance as incremental_dedup's broadcast batch) a driver union-find
+    # replaces ~4 log-rounds x 2 actions of fixed job overhead with one
+    # collect; the alternating-star distributed rounds below remain the
+    # unconditional path for bigger edge sets (pass local_threshold=None
+    # or 0 to force them — the pytest equivalence suite does).
+    if local_threshold and e.count() <= local_threshold:
+        rows = e.collect()
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r[0], r[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union-by-min keeps each root the component minimum, so
+                # find(v) is exactly the "smallest doc_id reachable" label
+                parent[max(ra, rb)] = min(ra, rb)
+        data = [(v, find(v)) for v in parent]
+        spark = pairs.sparkSession
+        if not data:
+            return spark.createDataFrame([], "doc_id long, group_id long")
+        return spark.createDataFrame(data, "doc_id long, group_id long")
     # materialize the symmetrized edge list once: every contraction round
     # joins against it, and without the checkpoint the union+distinct
     # shuffle (the dominant exchange) re-executes per round

@@ -462,3 +462,20 @@ def test_substring_dup_stats_multiplicity_and_plan(spark):
     plan = DD.substring_dup_stats(df, n=5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "xxhash64" in plan
+
+
+@pytest.mark.parametrize("shape", ["chain", "cliques"])
+def test_dup_groups_distributed_path_matches_local(spark, shape):
+    """local_threshold=0 forces the alternating-star distributed rounds;
+    they must produce the identical component labeling as the size-gated
+    local union-find fast path (the default at these sizes)."""
+    if shape == "chain":
+        pairs = [(i, i + 1) for i in range(60)]
+    else:
+        pairs = [(10 * g + i, 10 * g + j)
+                 for g in range(5) for i in range(4) for j in range(i + 1, 4)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    local = {r.doc_id: r.group_id for r in DD.dup_groups(df).toLocalIterator()}
+    dist = {r.doc_id: r.group_id
+            for r in DD.dup_groups(df, local_threshold=0).toLocalIterator()}
+    assert dist == local == _uf_components(pairs)
